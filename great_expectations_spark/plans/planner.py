@@ -1,0 +1,156 @@
+"""Suite → PassPlan compiler.
+
+The reference resolves a metric DAG in waves and bundles AGGREGATE_FN
+partials per domain into one ``df.agg`` (reference:
+``ValidationGraph.build_metric_dependency_graph`` +
+``SparkDFExecutionEngine.resolve_metric_bundle`` — SURVEY.md §3/§4.1).
+Catalyst does NOT fuse separate actions, so cross-expectation bundling is
+the engine's own core rule. Our compiler plans the whole suite into a small,
+fixed set of passes per domain group (= distinct ``row_condition``):
+
+- **P1 bundle** — ONE ``df.agg(...)`` carrying: shared ``element_count``,
+  per-map null/unexpected counters, every aggregate metric expr (deduped by
+  deterministic alias), KL histogram buckets, and wave-2 dependencies.
+- **P-window** — map conditions that need a window (increasing/decreasing):
+  flags projected then aggregated in one pass.
+- **P2** — aggregate-dependent map counters (z-score) with wave-1 values
+  injected as literals.
+- **P-groupby** — key-uniqueness (salted two-level groupBy) and
+  value-counts-backed metrics; one job per distinct key set.
+- **P-violations** — a single melt pass over all failing map rows feeding
+  the violations sink.
+
+Metric dedup: identical aggregate exprs requested by different expectations
+share one alias → computed once (reference: ``Validator._metrics`` cache).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+
+from great_expectations_spark.registry import (
+    Compiled,
+    CompiledAgg,
+    CompiledMap,
+    CompiledMeta,
+    CompiledQuery,
+    CompiledRelational,
+    CompiledUnique,
+    compile_expectation,
+)
+from great_expectations_spark.suite import ExpectationSuite
+
+
+@dataclass
+class DomainGroup:
+    """All expectations sharing one row_condition — one scan family."""
+
+    row_condition: str | None
+    maps: list[CompiledMap] = field(default_factory=list)  # window-free, dep-free
+    window_maps: list[CompiledMap] = field(default_factory=list)
+    dependent_maps: list[CompiledMap] = field(default_factory=list)
+    aggs: list[CompiledAgg] = field(default_factory=list)
+    uniques: list[CompiledUnique] = field(default_factory=list)
+    #: columns whose exact value_counts the groupBy pass must produce
+    value_counts_columns: list[str] = field(default_factory=list)
+
+    @property
+    def n_passes(self) -> int:
+        n = 1 if (self.maps or self.aggs or self.dependent_maps) else 0
+        n += 1 if self.window_maps else 0
+        n += 1 if self.dependent_maps else 0
+        n += len(self.uniques) + len(self.value_counts_columns)
+        return n
+
+    def bundle_exprs(self) -> dict[str, Column]:
+        """The P1 bundled aggregate expressions, deduped by alias."""
+        from pyspark.sql import functions as F
+
+        exprs: dict[str, Column] = {"element_count": F.count(F.lit(1))}
+        for cm in self.maps + self.window_maps + self.dependent_maps:
+            exprs[f"nc__{cm.cfg.id}"] = F.sum(
+                F.when(cm.condition.missing, 1).otherwise(0)
+            )
+        for cm in self.maps:
+            exprs[f"uc__{cm.cfg.id}"] = F.sum(
+                F.when(cm.condition.unexpected, 1).otherwise(0)
+            )
+        for cm in self.dependent_maps:
+            exprs.update(cm.condition.requires)  # wave-2 deps ride wave 1
+        for ca in self.aggs:
+            exprs.update(ca.metric.exprs)  # dedup: same alias ⇒ same expr
+        return exprs
+
+
+@dataclass
+class SuitePlan:
+    groups: list[DomainGroup]
+    metas: list[CompiledMeta]
+    relationals: list[CompiledRelational]
+    queries: list[CompiledQuery]
+    #: preserves suite order for EVR output: (kind, group_idx_or_None, obj)
+    ordered: list[tuple[str, Compiled]] = field(default_factory=list)
+
+    @property
+    def total_passes(self) -> int:
+        return sum(g.n_passes for g in self.groups)
+
+
+def plan_suite(suite: ExpectationSuite) -> SuitePlan:
+    """Compile + group the suite. Pure Python — no Spark session needed."""
+    groups: dict[Any, DomainGroup] = {}
+    metas: list[CompiledMeta] = []
+    relationals: list[CompiledRelational] = []
+    queries: list[CompiledQuery] = []
+    ordered: list[tuple[str, Compiled]] = []
+
+    def group_for(row_condition: str | None) -> DomainGroup:
+        if row_condition not in groups:
+            groups[row_condition] = DomainGroup(row_condition=row_condition)
+        return groups[row_condition]
+
+    for cfg in suite:
+        compiled = compile_expectation(cfg)
+        if isinstance(compiled, CompiledMap):
+            g = group_for(cfg.row_condition)
+            if compiled.condition.requires:
+                g.dependent_maps.append(compiled)
+                ordered.append(("map_dependent", compiled))
+            elif compiled.condition.needs_window:
+                g.window_maps.append(compiled)
+                ordered.append(("map_window", compiled))
+            else:
+                g.maps.append(compiled)
+                ordered.append(("map", compiled))
+        elif isinstance(compiled, CompiledAgg):
+            g = group_for(cfg.row_condition)
+            vc_col = getattr(compiled.metric, "groupby_value_counts", None)
+            if vc_col is not None and vc_col not in g.value_counts_columns:
+                g.value_counts_columns.append(vc_col)
+            g.aggs.append(compiled)
+            ordered.append(("agg", compiled))
+        elif isinstance(compiled, CompiledUnique):
+            group_for(cfg.row_condition).uniques.append(compiled)
+            ordered.append(("unique", compiled))
+        elif isinstance(compiled, CompiledMeta):
+            metas.append(compiled)
+            ordered.append(("meta", compiled))
+        elif isinstance(compiled, CompiledRelational):
+            relationals.append(compiled)
+            ordered.append(("relational", compiled))
+        elif isinstance(compiled, CompiledQuery):
+            queries.append(compiled)
+            ordered.append(("query", compiled))
+        else:  # pragma: no cover
+            raise TypeError(f"unhandled compiled kind {type(compiled)}")
+
+    return SuitePlan(
+        groups=list(groups.values()),
+        metas=metas,
+        relationals=relationals,
+        queries=queries,
+        ordered=ordered,
+    )

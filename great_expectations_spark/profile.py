@@ -1,0 +1,300 @@
+"""Distribution profiles (partition_object) + KL-divergence drift check.
+
+Reference semantics (SURVEY.md §2.5; reference:
+``great_expectations/dataset/util.py`` partition-object helpers and
+``great_expectations/expectations/core/expect_column_kl_divergence_to_be_less_than.py``,
+≈1000 LoC, the most complex core expectation; unverified upstream citations
+per SURVEY.md §0):
+
+- ``partition_object`` shapes: categorical ``{values[], weights[]}`` and
+  continuous ``{bins[], weights[], tail_weights[]?}``.
+- categorical branch: observed weights from value counts / nonnull;
+  observed values missing from the baseline ⇒ KL = ∞ unless
+  ``tail_weight_holdout`` > 0 redistributes mass to them.
+- continuous branch: observed weights from a histogram over the baseline
+  ``bins`` plus below/above-range tail counts; ``internal_weight_holdout``
+  covers zero-weight internal bins; ``tail_weight_holdout`` (or explicit
+  ``tail_weights``) covers mass outside the bin range; otherwise out-of-range
+  observed mass ⇒ KL = ∞.
+- success = KL < threshold; ``observed_value`` = KL (∞ serializes to null —
+  reference ``convert_to_json_serializable``); ``details.observed_partition``
+  carries the observed profile.
+
+Spark side: ALL counts ride the suite's single bundled aggregation pass
+(one ``sum(when(...))`` per bucket/value — no extra scan, no groupBy); the
+KL arithmetic runs driver-side on numpy vectors of ≤ a few hundred entries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from great_expectations_spark.functions.aggregates import AggMetric, safe_alias
+
+
+# ---------------------------------------------------------------------------
+# partition_object validation + builders
+# ---------------------------------------------------------------------------
+
+def is_valid_categorical_partition_object(p: Any) -> bool:
+    if not isinstance(p, dict) or "values" not in p or "weights" not in p:
+        return False
+    if len(p["values"]) != len(p["weights"]):
+        return False
+    w = np.asarray(p["weights"], dtype=float)
+    return bool((w >= 0).all() and math.isclose(w.sum(), 1.0, rel_tol=1e-6))
+
+
+def is_valid_continuous_partition_object(p: Any) -> bool:
+    if not isinstance(p, dict) or "bins" not in p or "weights" not in p:
+        return False
+    if len(p["bins"]) != len(p["weights"]) + 1:
+        return False
+    if list(p["bins"]) != sorted(p["bins"]):
+        return False
+    total = float(np.sum(p["weights"]))
+    tw = p.get("tail_weights")
+    if tw is not None:
+        if len(tw) != 2:
+            return False
+        total += float(np.sum(tw))
+    return math.isclose(total, 1.0, rel_tol=1e-6) and all(
+        w >= 0 for w in p["weights"]
+    )
+
+
+def is_valid_partition_object(p: Any) -> bool:
+    return is_valid_categorical_partition_object(
+        p
+    ) or is_valid_continuous_partition_object(p)
+
+
+def build_categorical_partition_object(
+    df: DataFrame, column: str, sort: str = "value"
+) -> dict[str, Any]:
+    """Baseline categorical profile from value counts (one groupBy job)."""
+    rows = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .count()
+        .orderBy(column)
+        .collect()
+    )
+    total = sum(r["count"] for r in rows) or 1
+    return {
+        "values": [r[column] for r in rows],
+        "weights": [r["count"] / total for r in rows],
+    }
+
+
+def build_continuous_partition_object(
+    df: DataFrame,
+    column: str,
+    bins: str = "uniform",
+    n_bins: int = 10,
+    allow_relative_error: float = 0.001,
+) -> dict[str, Any]:
+    """Baseline continuous profile (reference: column.partition metric,
+    ``column_partition.py`` — ``uniform`` linspace over min/max or ``ntile``
+    via approximate quantiles).
+
+    One bundled agg job for the edges, one for the bucket weights.
+    """
+    c = F.col(column).cast("double")
+    if bins == "uniform":
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:
+            return {"bins": [0.0, 1.0], "weights": [0.0], "tail_weights": [0.5, 0.5]}
+        if lo == hi:
+            hi = lo + 1.0
+        edges = list(np.linspace(lo, hi, n_bins + 1))
+    elif bins == "ntile":
+        acc = max(100, int(1.0 / max(allow_relative_error, 1e-6)))
+        qs = [i / n_bins for i in range(n_bins + 1)]
+        row = df.agg(
+            F.percentile_approx(c, F.array(*[F.lit(q) for q in qs]), acc).alias("e")
+        ).collect()[0]
+        edges = sorted(set(float(x) for x in row["e"]))
+        if len(edges) < 2:
+            edges = [edges[0], edges[0] + 1.0] if edges else [0.0, 1.0]
+    else:
+        raise ValueError(f"unsupported bins strategy {bins!r} (uniform|ntile)")
+
+    hist = histogram_metric(column, edges)
+    values = df.agg(*[e.alias(a) for a, e in hist.exprs.items()]).collect()[0].asDict()
+    counts = hist.finalize(values)
+    total = sum(counts) or 1
+    return {
+        "bins": [float(e) for e in edges],
+        "weights": [ct / total for ct in counts],
+        "tail_weights": [0.0, 0.0],
+    }
+
+
+def histogram_metric(column: str, bins: list[float]) -> AggMetric:
+    from great_expectations_spark.functions.aggregates import histogram
+
+    return histogram(column, bins)
+
+
+# ---------------------------------------------------------------------------
+# KL-divergence bundled metric
+# ---------------------------------------------------------------------------
+
+def _kl(pk: np.ndarray, qk: np.ndarray) -> float:
+    """KL(P‖Q) = Σ p·ln(p/q); p>0 where q==0 ⇒ ∞ (scipy.stats.entropy parity,
+    computed with plain numpy to avoid the scipy dependency)."""
+    pk = np.asarray(pk, dtype=float)
+    qk = np.asarray(qk, dtype=float)
+    s = pk.sum()
+    if s <= 0:
+        return float("nan")
+    pk = pk / s
+    mask = pk > 0
+    if (qk[mask] <= 0).any():
+        return float("inf")
+    return float(np.sum(pk[mask] * np.log(pk[mask] / qk[mask])))
+
+
+def kl_divergence_metric(
+    column: str,
+    partition_object: dict[str, Any],
+    tail_weight_holdout: float = 0.0,
+    internal_weight_holdout: float = 0.0,
+) -> AggMetric:
+    """Compile the KL check into bundled scalar aggregates + driver math."""
+    if is_valid_categorical_partition_object(partition_object):
+        return _categorical_kl(column, partition_object, tail_weight_holdout)
+    if is_valid_continuous_partition_object(partition_object):
+        return _continuous_kl(
+            column, partition_object, tail_weight_holdout, internal_weight_holdout
+        )
+    raise ValueError("invalid partition_object")
+
+
+def _categorical_kl(
+    column: str, partition_object: dict[str, Any], tail_weight_holdout: float
+) -> AggMetric:
+    values = list(partition_object["values"])
+    baseline = np.asarray(partition_object["weights"], dtype=float)
+    c = F.col(column)
+
+    exprs: dict[str, Any] = {}
+    val_aliases: list[str] = []
+    for i, v in enumerate(values):
+        a = safe_alias("klcat", column, i)
+        val_aliases.append(a)
+        exprs[a] = F.sum(F.when(c.eqNullSafe(F.lit(v)), 1).otherwise(0))
+    other_alias = safe_alias("klcat_other", column)
+    in_set = c.isin(values) if values else F.lit(False)
+    exprs[other_alias] = F.sum(
+        F.when(c.isNotNull() & ~F.coalesce(in_set, F.lit(False)), 1).otherwise(0)
+    )
+
+    def fin(vals: dict[str, Any]) -> float:
+        counts = np.array([vals[a] or 0 for a in val_aliases], dtype=float)
+        other = float(vals[other_alias] or 0)
+        total = counts.sum() + other
+        if total == 0:
+            return float("nan")
+        pk = counts / total
+        qk = baseline.copy()
+        if other > 0:
+            if tail_weight_holdout > 0:
+                # holdout mass covers observed-but-unseen values as one bucket
+                pk = np.append(pk, other / total)
+                qk = np.append(qk * (1.0 - tail_weight_holdout), tail_weight_holdout)
+            else:
+                return float("inf")
+        return _kl(pk, qk)
+
+    def details(vals: dict[str, Any]) -> dict[str, Any]:
+        counts = np.array([vals[a] or 0 for a in val_aliases], dtype=float)
+        other = float(vals[other_alias] or 0)
+        total = counts.sum() + other or 1.0
+        return {
+            "observed_partition": {
+                "values": values,
+                "weights": [float(x) for x in counts / total],
+            }
+        }
+
+    return AggMetric(exprs, fin, details)
+
+
+def _continuous_kl(
+    column: str,
+    partition_object: dict[str, Any],
+    tail_weight_holdout: float,
+    internal_weight_holdout: float,
+) -> AggMetric:
+    bins = [float(b) for b in partition_object["bins"]]
+    weights = np.asarray(partition_object["weights"], dtype=float)
+    tail_weights = partition_object.get("tail_weights")
+
+    from great_expectations_spark.functions.aggregates import histogram
+
+    hist = histogram(column, bins)
+    c = F.col(column).cast("double")
+    below_alias = safe_alias("klbelow", column)
+    above_alias = safe_alias("klabove", column)
+    exprs = dict(hist.exprs)
+    lo, hi = bins[0], bins[-1]
+    exprs[below_alias] = F.sum(
+        F.when(F.col(column).isNotNull() & (c < lo), 1).otherwise(0)
+    )
+    exprs[above_alias] = F.sum(
+        F.when(F.col(column).isNotNull() & (c > hi), 1).otherwise(0)
+    )
+    nn_alias = safe_alias("klnn", column)
+    exprs[nn_alias] = F.count(F.col(column))
+
+    def _expected(qk: np.ndarray) -> tuple[np.ndarray, float, float]:
+        """Apply holdouts to the baseline per reference semantics."""
+        qk = qk.copy()
+        if internal_weight_holdout > 0:
+            zero = qk == 0
+            nz = int(zero.sum())
+            if nz:
+                qk = qk * (1.0 - internal_weight_holdout)
+                qk[zero] = internal_weight_holdout / nz
+        if tail_weights is not None and (tail_weights[0] > 0 or tail_weights[1] > 0):
+            q_below, q_above = float(tail_weights[0]), float(tail_weights[1])
+        elif tail_weight_holdout > 0:
+            qk = qk * (1.0 - tail_weight_holdout)
+            q_below = q_above = tail_weight_holdout / 2.0
+        else:
+            q_below = q_above = 0.0
+        return qk, q_below, q_above
+
+    def fin(vals: dict[str, Any]) -> float:
+        counts = np.asarray(hist.finalize(vals), dtype=float)
+        below = float(vals[below_alias] or 0)
+        above = float(vals[above_alias] or 0)
+        total = counts.sum() + below + above
+        if total == 0:
+            return float("nan")
+        qk, q_below, q_above = _expected(weights)
+        pk = np.concatenate([[below], counts, [above]]) / total
+        qk_full = np.concatenate([[q_below], qk, [q_above]])
+        return _kl(pk, qk_full)
+
+    def details(vals: dict[str, Any]) -> dict[str, Any]:
+        counts = np.asarray(hist.finalize(vals), dtype=float)
+        below = float(vals[below_alias] or 0)
+        above = float(vals[above_alias] or 0)
+        total = counts.sum() + below + above or 1.0
+        return {
+            "observed_partition": {
+                "bins": bins,
+                "weights": [float(x) for x in counts / total],
+                "tail_weights": [below / total, above / total],
+            }
+        }
+
+    return AggMetric(exprs, fin, details)

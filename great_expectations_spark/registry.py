@@ -1,0 +1,575 @@
+"""Expectation registry — compiles ExpectationConfigurations to executable
+forms (SURVEY.md §2; reference:
+``great_expectations/expectations/registry.py`` +
+``MetaExpectation.__new__`` auto-registration in
+``great_expectations/expectations/expectation.py``, unverified upstream
+citations per SURVEY.md §0).
+
+Compiled kinds:
+
+- :class:`CompiledMap` — per-row predicate; counters ride the bundled agg
+  pass, failing rows feed the violations sink.
+- :class:`CompiledAgg` — scalar aggregate(s) + between-style (or custom)
+  success rule; all exprs dedup into the same bundled pass.
+- :class:`CompiledUnique` — key-uniqueness checks (groupBy-shaped; salted
+  two-level aggregation at scale — never the reference's full-table window).
+- :class:`CompiledMeta` — schema-only checks, zero scans.
+- :class:`CompiledRelational` — cross-table checks (left-anti referential
+  joins, row-count comparisons).
+- :class:`CompiledQuery` — arbitrary Spark-SQL QueryExpectation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from great_expectations_spark.functions import aggregates as A
+from great_expectations_spark.functions import conditions as C
+from great_expectations_spark.functions.aggregates import AggMetric
+from great_expectations_spark.functions.conditions import MapCondition
+from great_expectations_spark.result import parse_result_format
+from great_expectations_spark.suite import ExpectationConfiguration
+
+
+# ---------------------------------------------------------------------------
+# compiled forms
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompiledMap:
+    cfg: ExpectationConfiguration
+    condition: MapCondition
+    mostly: float | None
+    result_format: dict[str, Any]
+
+
+@dataclass
+class CompiledAgg:
+    cfg: ExpectationConfiguration
+    metric: AggMetric
+    #: observed_value -> (success, extra_result_fields)
+    validate: Callable[[Any], tuple[bool, dict[str, Any]]]
+
+
+@dataclass
+class CompiledUnique:
+    cfg: ExpectationConfiguration
+    key_cols: list[str]
+    mostly: float | None
+    result_format: dict[str, Any]
+    #: use an HLL approx-distinct gate before the exact pass (scale fast-path)
+    hll_gate: bool = False
+
+
+@dataclass
+class CompiledMeta:
+    cfg: ExpectationConfiguration
+    run: Callable[[DataFrame], tuple[bool, dict[str, Any]]]
+
+
+@dataclass
+class CompiledRelational:
+    cfg: ExpectationConfiguration
+    run: Callable[[DataFrame, dict[str, DataFrame]], tuple[bool, dict[str, Any]]]
+    #: referential map checks also emit violation rows via this builder
+    violations: Callable[[DataFrame, dict[str, DataFrame]], DataFrame] | None = None
+    mostly: float | None = None
+    result_format: dict[str, Any] = field(default_factory=lambda: parse_result_format(None))
+
+
+@dataclass
+class CompiledQuery:
+    cfg: ExpectationConfiguration
+    query: str
+    result_format: dict[str, Any] = field(default_factory=lambda: parse_result_format(None))
+
+
+Compiled = (
+    CompiledMap | CompiledAgg | CompiledUnique | CompiledMeta | CompiledRelational | CompiledQuery
+)
+
+_REGISTRY: dict[str, Callable[[ExpectationConfiguration], Compiled]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def compile_expectation(cfg: ExpectationConfiguration) -> Compiled:
+    try:
+        compiler = _REGISTRY[cfg.expectation_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown expectation_type {cfg.expectation_type!r}; "
+            f"registered: {sorted(_REGISTRY)}"
+        ) from None
+    return compiler(cfg)
+
+
+def registered_expectations() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# map expectations (§2.3/§2.4)
+# ---------------------------------------------------------------------------
+
+_MAP_BUILDERS: dict[str, Callable[..., MapCondition]] = {
+    "expect_column_values_to_not_be_null": C.not_be_null,
+    "expect_column_values_to_be_null": C.be_null,
+    "expect_column_values_to_be_in_set": C.be_in_set,
+    "expect_column_values_to_not_be_in_set": C.not_be_in_set,
+    "expect_column_values_to_be_between": C.be_between,
+    "expect_column_value_lengths_to_be_between": C.value_lengths_be_between,
+    "expect_column_value_lengths_to_equal": C.value_lengths_equal,
+    "expect_column_values_to_match_regex": C.match_regex,
+    "expect_column_values_to_not_match_regex": C.not_match_regex,
+    "expect_column_values_to_match_regex_list": C.match_regex_list,
+    "expect_column_values_to_not_match_regex_list": C.not_match_regex_list,
+    "expect_column_values_to_match_like_pattern": C.match_like_pattern,
+    "expect_column_values_to_not_match_like_pattern": C.not_match_like_pattern,
+    "expect_column_values_to_match_like_pattern_list": C.match_like_pattern_list,
+    "expect_column_values_to_not_match_like_pattern_list": C.not_match_like_pattern_list,
+    "expect_column_values_to_match_strftime_format": C.match_strftime_format,
+    "expect_column_values_to_be_dateutil_parseable": C.dateutil_parseable,
+    "expect_column_values_to_be_json_parseable": C.json_parseable,
+    "expect_column_values_to_match_json_schema": C.match_json_schema,
+    "expect_column_values_to_be_increasing": C.increasing,
+    "expect_column_values_to_be_decreasing": C.decreasing,
+    "expect_column_value_z_scores_to_be_less_than": C.z_scores_under_threshold,
+    "expect_column_pair_values_to_be_equal": C.pair_equal,
+    "expect_column_pair_values_a_to_be_greater_than_b": C.pair_a_greater_than_b,
+    "expect_column_pair_values_to_be_in_set": C.pair_in_set,
+    "expect_multicolumn_sum_to_equal": C.multicolumn_sum_equal,
+    "expect_select_column_values_to_be_unique_within_record": C.select_column_values_unique_within_record,
+}
+
+_MAP_NON_CONDITION_KWARGS = {
+    "mostly",
+    "result_format",
+    "row_condition",
+    "condition_parser",
+    "catch_exceptions",
+    "meta",
+}
+
+
+def _make_map_compiler(builder: Callable[..., MapCondition]):
+    def compiler(cfg: ExpectationConfiguration) -> CompiledMap:
+        kwargs = {
+            k: v for k, v in cfg.kwargs.items() if k not in _MAP_NON_CONDITION_KWARGS
+        }
+        condition = builder(**kwargs)
+        return CompiledMap(
+            cfg=cfg,
+            condition=condition,
+            mostly=cfg.mostly,
+            result_format=parse_result_format(cfg.kwargs.get("result_format")),
+        )
+
+    return compiler
+
+
+for _name, _builder in _MAP_BUILDERS.items():
+    _REGISTRY[_name] = _make_map_compiler(_builder)
+
+
+# ---------------------------------------------------------------------------
+# uniqueness (groupBy-shaped; SURVEY.md §2.3 column_values.unique, §2.4
+# compound_columns.unique)
+# ---------------------------------------------------------------------------
+
+@register("expect_column_values_to_be_unique")
+def _compile_unique(cfg: ExpectationConfiguration) -> CompiledUnique:
+    return CompiledUnique(
+        cfg=cfg,
+        key_cols=[cfg.kwargs["column"]],
+        mostly=cfg.mostly,
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+        hll_gate=bool(cfg.kwargs.get("use_hll_gate", False)),
+    )
+
+
+@register("expect_compound_columns_to_be_unique")
+def _compile_compound_unique(cfg: ExpectationConfiguration) -> CompiledUnique:
+    return CompiledUnique(
+        cfg=cfg,
+        key_cols=list(cfg.kwargs["column_list"]),
+        mostly=cfg.mostly,
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+        hll_gate=bool(cfg.kwargs.get("use_hll_gate", False)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate expectations (§2.5/§2.6)
+# ---------------------------------------------------------------------------
+
+def _between_success(observed: Any, kwargs: dict[str, Any]) -> bool:
+    """Shared min/max success rule (reference:
+    ``_validate_metric_value_between`` in expectation.py)."""
+    lo = kwargs.get("min_value")
+    hi = kwargs.get("max_value")
+    if observed is None:
+        return lo is None and hi is None
+    ok = True
+    if lo is not None:
+        ok = ok and (observed > lo if kwargs.get("strict_min") else observed >= lo)
+    if hi is not None:
+        ok = ok and (observed < hi if kwargs.get("strict_max") else observed <= hi)
+    return bool(ok)
+
+
+def _agg_between(name: str, metric_builder: Callable[[ExpectationConfiguration], AggMetric]):
+    @register(name)
+    def compiler(cfg: ExpectationConfiguration) -> CompiledAgg:
+        metric = metric_builder(cfg)
+
+        def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+            return _between_success(observed, cfg.kwargs), {}
+
+        return CompiledAgg(cfg=cfg, metric=metric, validate=validate)
+
+    return compiler
+
+
+_agg_between("expect_column_mean_to_be_between", lambda c: A.mean(c.kwargs["column"]))
+_agg_between("expect_column_stdev_to_be_between", lambda c: A.stddev(c.kwargs["column"]))
+_agg_between(
+    "expect_column_min_to_be_between",
+    lambda c: A.col_min(c.kwargs["column"], c.kwargs.get("parse_strings_as_datetimes", False)),
+)
+_agg_between(
+    "expect_column_max_to_be_between",
+    lambda c: A.col_max(c.kwargs["column"], c.kwargs.get("parse_strings_as_datetimes", False)),
+)
+_agg_between("expect_column_sum_to_be_between", lambda c: A.col_sum(c.kwargs["column"]))
+_agg_between(
+    "expect_column_median_to_be_between",
+    lambda c: A.median(
+        c.kwargs["column"],
+        approximate=c.kwargs.get("approximate", True),
+        relative_error=c.kwargs.get("allow_relative_error", 0.001),
+    ),
+)
+_agg_between(
+    "expect_column_unique_value_count_to_be_between",
+    lambda c: A.distinct_count(
+        c.kwargs["column"],
+        approximate=c.kwargs.get("approximate", False),
+        rsd=c.kwargs.get("rsd", 0.01),
+    ),
+)
+_agg_between(
+    "expect_column_proportion_of_unique_values_to_be_between",
+    lambda c: A.unique_proportion(
+        c.kwargs["column"], approximate=c.kwargs.get("approximate", False)
+    ),
+)
+_agg_between("expect_table_row_count_to_be_between", lambda c: A.row_count())
+
+
+@register("expect_table_row_count_to_equal")
+def _compile_row_count_equal(cfg: ExpectationConfiguration) -> CompiledAgg:
+    target = int(cfg.kwargs["value"])
+
+    def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+        return observed == target, {}
+
+    return CompiledAgg(cfg=cfg, metric=A.row_count(), validate=validate)
+
+
+@register("expect_column_quantile_values_to_be_between")
+def _compile_quantiles(cfg: ExpectationConfiguration) -> CompiledAgg:
+    qinfo = cfg.kwargs["quantile_ranges"]
+    quantiles = list(qinfo["quantiles"])
+    ranges = list(qinfo["value_ranges"])
+    metric = A.quantile_values(
+        cfg.kwargs["column"],
+        quantiles,
+        allow_relative_error=cfg.kwargs.get("allow_relative_error", 0.001),
+        approximate=cfg.kwargs.get("approximate", True),
+    )
+    base_fin = metric.finalize
+
+    def finalize(values: dict[str, Any]) -> Any:
+        vals = base_fin(values)
+        return {"quantiles": quantiles, "values": vals}
+
+    def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+        vals = observed["values"] if observed else None
+        if vals is None:
+            return False, {}
+        per_q = [
+            (lo is None or v >= lo) and (hi is None or v <= hi)
+            for v, (lo, hi) in zip(vals, ranges)
+        ]
+        return all(per_q), {"details": {"success_details": per_q}}
+
+    return CompiledAgg(
+        cfg=cfg, metric=AggMetric(metric.exprs, finalize, metric.details), validate=validate
+    )
+
+
+def _distinct_set_compiler(name: str, check: Callable[[set, set], bool]):
+    @register(name)
+    def compiler(cfg: ExpectationConfiguration) -> CompiledAgg:
+        metric = A.distinct_values(cfg.kwargs["column"])
+        value_set = set(cfg.kwargs["value_set"])
+
+        def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+            return check(set(observed or []), value_set), {}
+
+        return CompiledAgg(cfg=cfg, metric=metric, validate=validate)
+
+    return compiler
+
+
+_distinct_set_compiler(
+    "expect_column_distinct_values_to_be_in_set", lambda obs, vs: obs <= vs
+)
+_distinct_set_compiler(
+    "expect_column_distinct_values_to_contain_set", lambda obs, vs: vs <= obs
+)
+_distinct_set_compiler(
+    "expect_column_distinct_values_to_equal_set", lambda obs, vs: obs == vs
+)
+
+
+@register("expect_column_kl_divergence_to_be_less_than")
+def _compile_kl(cfg: ExpectationConfiguration) -> CompiledAgg:
+    from great_expectations_spark.profile import kl_divergence_metric
+
+    metric = kl_divergence_metric(
+        cfg.kwargs["column"],
+        cfg.kwargs["partition_object"],
+        tail_weight_holdout=cfg.kwargs.get("tail_weight_holdout", 0.0),
+        internal_weight_holdout=cfg.kwargs.get("internal_weight_holdout", 0.0),
+    )
+    threshold = float(cfg.kwargs["threshold"])
+
+    def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+        import math
+
+        if observed is None or (isinstance(observed, float) and math.isnan(observed)):
+            return False, {}
+        return bool(observed < threshold), {}
+
+    return CompiledAgg(cfg=cfg, metric=metric, validate=validate)
+
+
+@register("expect_column_most_common_value_to_be_in_set")
+def _compile_most_common(cfg: ExpectationConfiguration) -> CompiledAgg:
+    """Most-common value(s) — ties produce a list. Computed via a bundled
+    ``max_by`` pair over the value-counts map … kept simple and exact with a
+    small groupBy-free approach: collect value counts as a map aggregate.
+
+    Implementation: ``F.mode`` gives one mode; tie detection requires counts,
+    so we aggregate count-per-value only for the (small) candidate set via
+    two bundled exprs: the max frequency and the set of values attaining it,
+    using ``collect_list`` over a window-free trick is not expressible as a
+    pure scalar agg — so this metric uses the histogram-style approach:
+    exact value_counts via groupBy happens in the planner's groupBy pass.
+
+    Here we mark it as requiring the groupBy pass by storing a sentinel.
+    """
+    column = cfg.kwargs["column"]
+    value_set = set(cfg.kwargs["value_set"])
+    ties_okay = bool(cfg.kwargs.get("ties_okay", False))
+
+    sentinel_alias = A.safe_alias("most_common", column)
+
+    def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+        modes = observed or []
+        if ties_okay:
+            return set(modes) <= value_set, {}
+        return len(modes) == 1 and modes[0] in value_set, {}
+
+    metric = AggMetric(
+        exprs={}, finalize=lambda v, a=sentinel_alias: v.get(a)
+    )
+    metric.groupby_value_counts = column  # planner hook (see plans/planner.py)
+    metric.sentinel_alias = sentinel_alias
+    return CompiledAgg(cfg=cfg, metric=metric, validate=validate)
+
+
+# ---------------------------------------------------------------------------
+# meta (schema-only) expectations (§2.6) — zero scans
+# ---------------------------------------------------------------------------
+
+def _meta(name: str):
+    def deco(fn: Callable[[DataFrame, dict[str, Any]], tuple[bool, dict[str, Any]]]):
+        @register(name)
+        def compiler(cfg: ExpectationConfiguration) -> CompiledMeta:
+            return CompiledMeta(cfg=cfg, run=lambda df: fn(df, cfg.kwargs))
+
+        return fn
+
+    return deco
+
+
+@_meta("expect_column_to_exist")
+def _col_exists(df: DataFrame, kw: dict[str, Any]):
+    cols = df.columns
+    col = kw["column"]
+    idx = kw.get("column_index")
+    if idx is not None:
+        ok = idx < len(cols) and cols[idx] == col
+    else:
+        ok = col in cols
+    return ok, {}
+
+
+@_meta("expect_table_columns_to_match_ordered_list")
+def _cols_ordered(df: DataFrame, kw: dict[str, Any]):
+    observed = list(df.columns)
+    expected = list(kw["column_list"])
+    return observed == expected, {"observed_value": observed}
+
+
+@_meta("expect_table_columns_to_match_set")
+def _cols_set(df: DataFrame, kw: dict[str, Any]):
+    observed = set(df.columns)
+    expected = set(kw["column_set"])
+    exact = kw.get("exact_match", True)
+    ok = observed == expected if exact else expected <= observed
+    return ok, {"observed_value": sorted(observed)}
+
+
+@_meta("expect_table_column_count_to_equal")
+def _col_count_eq(df: DataFrame, kw: dict[str, Any]):
+    n = len(df.columns)
+    return n == int(kw["value"]), {"observed_value": n}
+
+
+@_meta("expect_table_column_count_to_be_between")
+def _col_count_between(df: DataFrame, kw: dict[str, Any]):
+    n = len(df.columns)
+    return _between_success(n, kw), {"observed_value": n}
+
+
+_SPARK_TYPE_ALIASES = {
+    "StringType": {"StringType", "string", "str", "VARCHAR", "TEXT"},
+    "IntegerType": {"IntegerType", "int", "INTEGER", "IntType"},
+    "LongType": {"LongType", "bigint", "BIGINT", "long"},
+    "DoubleType": {"DoubleType", "double", "DOUBLE", "float64"},
+    "FloatType": {"FloatType", "float", "FLOAT"},
+    "BooleanType": {"BooleanType", "bool", "BOOLEAN"},
+    "TimestampType": {"TimestampType", "timestamp", "TIMESTAMP", "datetime64"},
+    "DateType": {"DateType", "date", "DATE"},
+    "DecimalType": {"DecimalType", "decimal", "DECIMAL"},
+    "ArrayType": {"ArrayType", "array"},
+    "MapType": {"MapType", "map"},
+    "StructType": {"StructType", "struct"},
+}
+
+
+def _type_matches(spark_type_name: str, wanted: str) -> bool:
+    """Match a Spark type class name against a user-provided type string
+    (reference: expect_column_values_to_be_of_type Spark path compares
+    against pyspark.sql.types classes — SURVEY.md §1.2)."""
+    for canonical, aliases in _SPARK_TYPE_ALIASES.items():
+        if spark_type_name == canonical:
+            return wanted in aliases or wanted == canonical
+    return wanted == spark_type_name
+
+
+@_meta("expect_column_values_to_be_of_type")
+def _of_type(df: DataFrame, kw: dict[str, Any]):
+    dtype = df.schema[kw["column"]].dataType
+    name = type(dtype).__name__
+    return _type_matches(name, kw["type_"]), {"observed_value": name}
+
+
+@_meta("expect_column_values_to_be_in_type_list")
+def _in_type_list(df: DataFrame, kw: dict[str, Any]):
+    dtype = df.schema[kw["column"]].dataType
+    name = type(dtype).__name__
+    ok = any(_type_matches(name, t) for t in kw["type_list"])
+    return ok, {"observed_value": name}
+
+
+# ---------------------------------------------------------------------------
+# relational (cross-table) expectations (§2.4 referential, §2.6)
+# ---------------------------------------------------------------------------
+
+@register("expect_column_values_to_exist_in")
+def _compile_exist_in(cfg: ExpectationConfiguration) -> CompiledRelational:
+    """Referential-integrity check (north_star "column-pair referential
+    checks"): every non-null value of `column` must exist in
+    `other_table.other_column`. Executed as a LEFT-ANTI join — Catalyst/AQE
+    picks broadcast when the dim fits (SURVEY.md §2.7)."""
+    from pyspark.sql import functions as F
+
+    column = cfg.kwargs["column"]
+    other_table = cfg.kwargs["other_table"]
+    other_column = cfg.kwargs["other_column"]
+    mostly = cfg.mostly
+
+    def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
+        dim = tables[other_table].select(F.col(other_column).alias(column)).distinct()
+        return df.filter(F.col(column).isNotNull()).join(
+            F.broadcast(dim) if cfg.kwargs.get("broadcast", True) else dim,
+            on=column,
+            how="left_anti",
+        )
+
+    def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+        from great_expectations_spark.result import calc_map_success
+
+        counts = df.agg(
+            F.count(F.lit(1)).alias("ec"),
+            F.sum(F.when(F.col(column).isNull(), 1).otherwise(0)).alias("nc"),
+        ).collect()[0]
+        unexpected = _viol(df, tables).count()
+        element_count, null_count = counts["ec"], counts["nc"] or 0
+        success = calc_map_success(element_count, null_count, unexpected, mostly)
+        return success, {
+            "element_count": int(element_count),
+            "missing_count": int(null_count),
+            "unexpected_count": int(unexpected),
+        }
+
+    return CompiledRelational(
+        cfg=cfg,
+        run=run,
+        violations=_viol,
+        mostly=mostly,
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+    )
+
+
+@register("expect_table_row_count_to_equal_other_table")
+def _compile_rc_other(cfg: ExpectationConfiguration) -> CompiledRelational:
+    other_table = cfg.kwargs["other_table"]
+
+    def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+        a = df.count()
+        b = tables[other_table].count()
+        return a == b, {"observed_value": {"self": a, "other": b}}
+
+    return CompiledRelational(cfg=cfg, run=run)
+
+
+# ---------------------------------------------------------------------------
+# QueryExpectation (§2.8) — the full Spark-SQL relational surface
+# ---------------------------------------------------------------------------
+
+@register("expect_query_to_return_no_unexpected_rows")
+def _compile_query(cfg: ExpectationConfiguration) -> CompiledQuery:
+    """Arbitrary SQL over the batch (temp view ``active_batch``; the
+    reference's ``{active_batch}`` placeholder is substituted). Success ⇔
+    the query returns zero rows (GX 1.0 UnexpectedRowsExpectation
+    semantics)."""
+    return CompiledQuery(
+        cfg=cfg,
+        query=cfg.kwargs["query"],
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+    )

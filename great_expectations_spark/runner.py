@@ -1,0 +1,597 @@
+"""Suite execution — bundled passes, EVR assembly, violations sink.
+
+Maps the reference's ``Checkpoint.run`` / ``Validator.graph_validate``
+lifecycle (SURVEY.md §3, entry point B) onto a fixed, small number of Spark
+jobs per domain group:
+
+  plan (metric dedup + bundling, driver-side, no Spark)
+    → P1 bundled ``df.agg`` (ONE job for all scalar metrics + map counters)
+    → P-window / P2 (only if window-backed or aggregate-dependent conditions)
+    → P-groupby (salted two-level aggregation per uniqueness key set)
+    → per-expectation partial-list jobs (``filter().limit(n)`` —
+      CollectLimit early-exits the scan; SURVEY.md §2.9)
+    → optional single melt pass writing ALL violation rows
+      ``(index…, expectation, observed_value)`` to the sink — executor-side
+      write, never collected to the driver (SURVEY.md §4.3)
+
+The input DataFrame is persisted across passes only when a group genuinely
+needs >1 pass (reference: ``SparkDFExecutionEngine(persist=True)``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from great_expectations_spark.plans.planner import DomainGroup, SuitePlan, plan_suite
+from great_expectations_spark.registry import (
+    CompiledMap,
+    CompiledQuery,
+    CompiledRelational,
+    CompiledUnique,
+)
+from great_expectations_spark.result import (
+    ExpectationSuiteValidationResult,
+    ExpectationValidationResult,
+    build_statistics,
+    calc_map_success,
+    format_map_result,
+)
+from great_expectations_spark.skew import salted_value_counts
+from great_expectations_spark.suite import ExpectationSuite
+
+
+def _observed_str(cond) -> F.Column:
+    """Uniform string rendering of the observed value for the sink."""
+    if len(cond.domain_cols) > 1:
+        return F.to_json(cond.observed)
+    return cond.observed.cast("string")
+
+
+def _row_value(v: Any) -> Any:
+    """Convert collected Spark values (Row/struct) to plain Python."""
+    if hasattr(v, "asDict"):
+        return {k: _row_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_row_value(x) for x in v]
+    return v
+
+
+class SuiteRunner:
+    """Validates DataFrames against suites.
+
+    Parameters
+    ----------
+    spark: session used for query expectations / sink writes.
+    tables: named DataFrames referenced by relational expectations
+        (referential integrity dims, row-count comparisons).
+    unexpected_index_column_names: default identity columns for
+        unexpected_index_list / the violations sink — the transcripts
+        canonical value is ``["conv_id", "turn_idx"]`` (north_star shape).
+    violations_path: when set, a single melt pass appends every failing row
+        as ``(index…, expectation, observed_value)`` parquet partitioned by
+        expectation — the at-scale alternative to COMPLETE collects.
+    catch_exceptions: per-expectation fault isolation (EVR.exception_info),
+        reference checkpoint default.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame] | None = None,
+        unexpected_index_column_names: list[str] | None = None,
+        violations_path: str | None = None,
+        catch_exceptions: bool = True,
+        persist: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.tables = tables or {}
+        self.index_cols = unexpected_index_column_names
+        self.violations_path = violations_path
+        self.catch_exceptions = catch_exceptions
+        self.persist = persist
+
+    # ------------------------------------------------------------------ API
+    def validate(
+        self, df: DataFrame, suite: ExpectationSuite
+    ) -> ExpectationSuiteValidationResult:
+        plan = plan_suite(suite)
+        results_by_id: dict[str, ExpectationValidationResult] = {}
+        violation_frames: list[DataFrame] = []
+
+        for group in plan.groups:
+            gdf = df.filter(F.expr(group.row_condition)) if group.row_condition else df
+            persisted = False
+            if self.persist and group.n_passes > 1:
+                gdf = gdf.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted = True
+            try:
+                try:
+                    self._run_group(group, gdf, results_by_id, violation_frames)
+                except Exception:
+                    if not self.catch_exceptions:
+                        raise
+                    # One bad expectation (e.g. unknown column) poisons the
+                    # shared bundle. Degrade to per-expectation mini-groups so
+                    # healthy expectations still validate and the broken one
+                    # gets its own EVR.exception_info (reference
+                    # catch_exceptions fault-isolation semantics).
+                    self._run_group_isolated(group, gdf, results_by_id, violation_frames)
+            finally:
+                if persisted:
+                    gdf.unpersist()
+
+        for cm in plan.metas:
+            results_by_id[cm.cfg.id] = self._guard(
+                cm.cfg, lambda cm=cm: self._run_meta(cm, df)
+            )
+        for cr in plan.relationals:
+            results_by_id[cr.cfg.id] = self._guard(
+                cr.cfg, lambda cr=cr: self._run_relational(cr, df, violation_frames)
+            )
+        for cq in plan.queries:
+            results_by_id[cq.cfg.id] = self._guard(
+                cq.cfg, lambda cq=cq: self._run_query(cq, df)
+            )
+
+        if self.violations_path and violation_frames:
+            out = violation_frames[0]
+            for vf in violation_frames[1:]:
+                out = out.unionByName(vf)
+            out.write.mode("append").partitionBy("expectation").parquet(
+                self.violations_path
+            )
+
+        results = [results_by_id[cfg.id] for cfg in suite]
+        return ExpectationSuiteValidationResult(
+            success=all(r.success for r in results),
+            results=results,
+            statistics=build_statistics(results),
+        )
+
+    # ------------------------------------------------------------- internals
+    def _guard(self, cfg, fn) -> ExpectationValidationResult:
+        if not self.catch_exceptions:
+            return fn()
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — reference catch_exceptions parity
+            import traceback
+
+            return ExpectationValidationResult(
+                success=False,
+                expectation_config=cfg.to_dict(),
+                result={},
+                exception_info={
+                    "raised_exception": True,
+                    "exception_message": str(exc),
+                    "exception_traceback": traceback.format_exc(),
+                },
+            )
+
+    def _run_group_isolated(
+        self,
+        group: DomainGroup,
+        gdf: DataFrame,
+        out: dict[str, ExpectationValidationResult],
+        violation_frames: list[DataFrame],
+    ) -> None:
+        """Error path: one single-expectation group per expectation, each
+        individually guarded — N small jobs instead of one poisoned bundle."""
+        members = (
+            [("maps", m) for m in group.maps]
+            + [("window_maps", m) for m in group.window_maps]
+            + [("dependent_maps", m) for m in group.dependent_maps]
+            + [("aggs", a) for a in group.aggs]
+            + [("uniques", u) for u in group.uniques]
+        )
+        for attr, member in members:
+            mini = DomainGroup(row_condition=group.row_condition)
+            getattr(mini, attr).append(member)
+            if attr == "aggs":
+                vc_col = getattr(member.metric, "groupby_value_counts", None)
+                if vc_col is not None:
+                    mini.value_counts_columns.append(vc_col)
+            try:
+                self._run_group(mini, gdf, out, violation_frames)
+            except Exception as exc:  # noqa: BLE001
+                import traceback
+
+                out[member.cfg.id] = ExpectationValidationResult(
+                    success=False,
+                    expectation_config=member.cfg.to_dict(),
+                    result={},
+                    exception_info={
+                        "raised_exception": True,
+                        "exception_message": str(exc),
+                        "exception_traceback": traceback.format_exc(),
+                    },
+                )
+
+    def _run_group(
+        self,
+        group: DomainGroup,
+        gdf: DataFrame,
+        out: dict[str, ExpectationValidationResult],
+        violation_frames: list[DataFrame],
+    ) -> None:
+        # ---- P1: the bundled aggregation ---------------------------------
+        exprs = group.bundle_exprs()
+        for cu in group.uniques:
+            exprs[f"nc__{cu.cfg.id}"] = F.sum(
+                F.when(self._unique_missing(cu), 1).otherwise(0)
+            )
+        values: dict[str, Any] = {}
+        if exprs:
+            row = gdf.agg(*[e.alias(a) for a, e in exprs.items()]).collect()[0]
+            values = {k: _row_value(v) for k, v in row.asDict().items()}
+
+        # ---- P-groupby: exact value_counts for mode-style metrics --------
+        for col in group.value_counts_columns:
+            vc = (
+                gdf.filter(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+            vc = vc.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                mx = vc.agg(F.max("count").alias("m")).collect()[0]["m"]
+                modes = (
+                    [r[col] for r in vc.filter(F.col("count") == mx).orderBy(col).collect()]
+                    if mx is not None
+                    else []
+                )
+            finally:
+                vc.unpersist()
+            from great_expectations_spark.functions.aggregates import safe_alias
+
+            values[safe_alias("most_common", col)] = modes
+
+        # ---- P-window: window-backed map conditions -----------------------
+        if group.window_maps:
+            flag_cols = [
+                cm.condition.unexpected.cast("int").alias(f"uc__{cm.cfg.id}")
+                for cm in group.window_maps
+            ]
+            row = (
+                gdf.select(*flag_cols)
+                .agg(*[F.sum(f"uc__{cm.cfg.id}").alias(f"uc__{cm.cfg.id}") for cm in group.window_maps])
+                .collect()[0]
+            )
+            values.update(row.asDict())
+
+        # ---- P2: aggregate-dependent map conditions -----------------------
+        rebuilt: dict[str, Any] = {}
+        if group.dependent_maps:
+            dep_exprs = {}
+            for cm in group.dependent_maps:
+                cond = cm.condition.rebuild(values)
+                rebuilt[cm.cfg.id] = cond
+                dep_exprs[f"uc__{cm.cfg.id}"] = F.sum(
+                    F.when(cond.unexpected, 1).otherwise(0)
+                )
+            row = gdf.agg(*[e.alias(a) for a, e in dep_exprs.items()]).collect()[0]
+            values.update(row.asDict())
+
+        # ---- EVR assembly --------------------------------------------------
+        element_count = int(values.get("element_count", 0) or 0)
+
+        for cm in group.maps + group.window_maps + group.dependent_maps:
+            cond = rebuilt.get(cm.cfg.id, cm.condition)
+            out[cm.cfg.id] = self._guard(
+                cm.cfg,
+                lambda cm=cm, cond=cond: self._finish_map(
+                    cm, cond, gdf, element_count, values
+                ),
+            )
+            if self.violations_path:
+                violation_frames.append(self._map_violations(cm, cond, gdf))
+
+        for ca in group.aggs:
+            out[ca.cfg.id] = self._guard(
+                ca.cfg, lambda ca=ca: self._finish_agg(ca, values)
+            )
+
+        for cu in group.uniques:
+            out[cu.cfg.id] = self._guard(
+                cu.cfg,
+                lambda cu=cu: self._finish_unique(
+                    cu, gdf, element_count, int(values.get(f"nc__{cu.cfg.id}", 0) or 0),
+                    violation_frames,
+                ),
+            )
+
+    # ---- map expectations -------------------------------------------------
+    def _map_flags(self, cond, gdf: DataFrame, index_cols: list[str]) -> DataFrame:
+        """Project (index…, observed, unexpected-flag). Window conditions are
+        legal here because flags are a select, not an agg."""
+        cols = [F.col(ic) for ic in index_cols if ic in gdf.columns]
+        cols.append(cond.observed.alias("__observed"))
+        cols.append(cond.unexpected.alias("__unexpected"))
+        return gdf.select(*cols)
+
+    def _effective_index_cols(self, gdf: DataFrame) -> list[str]:
+        if not self.index_cols:
+            return []
+        return [c for c in self.index_cols if c in gdf.columns]
+
+    def _finish_map(
+        self,
+        cm: CompiledMap,
+        cond,
+        gdf: DataFrame,
+        element_count: int,
+        values: dict[str, Any],
+    ) -> ExpectationValidationResult:
+        null_count = int(values.get(f"nc__{cm.cfg.id}", 0) or 0)
+        unexpected_count = int(values.get(f"uc__{cm.cfg.id}", 0) or 0)
+        success = calc_map_success(element_count, null_count, unexpected_count, cm.mostly)
+
+        rf = cm.result_format
+        level = rf["result_format"]
+        n_partial = rf["partial_unexpected_count"]
+        index_cols = rf.get("unexpected_index_column_names") or self._effective_index_cols(gdf)
+
+        partial_list: list[Any] = []
+        partial_index: list[dict[str, Any]] | None = None
+        partial_counts: list[dict[str, Any]] = []
+        unexpected_list = None
+        unexpected_index_list = None
+        unexpected_rows = None
+
+        if level != "BOOLEAN_ONLY" and unexpected_count > 0:
+            flags = self._map_flags(cond, gdf, index_cols).filter(F.col("__unexpected"))
+            head = flags.limit(n_partial).collect()
+            partial_list = [_row_value(r["__observed"]) for r in head]
+            if index_cols and level in ("SUMMARY", "COMPLETE"):
+                partial_index = [
+                    {c: _row_value(r[c]) for c in index_cols if c in flags.columns}
+                    for r in head
+                ]
+            if level in ("SUMMARY", "COMPLETE"):
+                # top-k value→count, sorted desc then by value (stable)
+                counts = (
+                    flags.groupBy("__observed")
+                    .agg(F.count(F.lit(1)).alias("count"))
+                    .orderBy(F.desc("count"), F.col("__observed"))
+                    .limit(n_partial)
+                    .collect()
+                )
+                partial_counts = [
+                    {"value": _row_value(r["__observed"]), "count": int(r["count"])}
+                    for r in counts
+                ]
+            if level == "COMPLETE":
+                # full collects — reference parity; the violations sink is
+                # the at-scale alternative (SURVEY.md §4.3)
+                rows = flags.collect()
+                unexpected_list = [_row_value(r["__observed"]) for r in rows]
+                if index_cols:
+                    unexpected_index_list = [
+                        {c: _row_value(r[c]) for c in index_cols if c in flags.columns}
+                        for r in rows
+                    ]
+                if rf.get("include_unexpected_rows"):
+                    unexpected_rows = [
+                        {k: _row_value(v) for k, v in r.asDict().items()}
+                        for r in gdf.filter(cond.unexpected).collect()
+                    ]
+
+        result = format_map_result(
+            result_format=rf,
+            element_count=element_count,
+            null_count=null_count,
+            unexpected_count=unexpected_count,
+            partial_unexpected_list=partial_list,
+            partial_unexpected_index_list=partial_index,
+            partial_unexpected_counts=partial_counts,
+            unexpected_list=unexpected_list,
+            unexpected_index_list=unexpected_index_list,
+            unexpected_rows=unexpected_rows,
+            unexpected_index_column_names=index_cols if index_cols else None,
+        )
+        return ExpectationValidationResult(
+            success=success, expectation_config=cm.cfg.to_dict(), result=result
+        )
+
+    def _map_violations(self, cm: CompiledMap, cond, gdf: DataFrame) -> DataFrame:
+        index_cols = self._effective_index_cols(gdf)
+        return (
+            gdf.filter(cond.unexpected)
+            .select(
+                *[F.col(c) for c in index_cols],
+                F.lit(cm.cfg.expectation_type).alias("expectation"),
+                _observed_str(cond).alias("observed_value"),
+            )
+        )
+
+    # ---- aggregate expectations --------------------------------------------
+    def _finish_agg(self, ca, values: dict[str, Any]) -> ExpectationValidationResult:
+        observed = ca.metric.finalize(values)
+        success, extra = ca.validate(observed)
+        result: dict[str, Any] = {"observed_value": observed}
+        details = ca.metric.details(values)
+        if details:
+            result["details"] = details
+        result.update(extra)
+        return ExpectationValidationResult(
+            success=success, expectation_config=ca.cfg.to_dict(), result=result
+        )
+
+    # ---- uniqueness ---------------------------------------------------------
+    def _unique_missing(self, cu: CompiledUnique) -> F.Column:
+        from functools import reduce
+
+        if len(cu.key_cols) == 1:
+            return F.col(cu.key_cols[0]).isNull()
+        # compound default ignore_row_if = all_values_are_missing
+        return reduce(lambda a, b: a & b, [F.col(c).isNull() for c in cu.key_cols])
+
+    def _finish_unique(
+        self,
+        cu: CompiledUnique,
+        gdf: DataFrame,
+        element_count: int,
+        null_count: int,
+        violation_frames: list[DataFrame],
+    ) -> ExpectationValidationResult:
+        """Key uniqueness via salted two-level groupBy — never the
+        reference's full-table ``Window.partitionBy`` (SURVEY.md §4.3).
+        Row-level marking parity: ALL rows of a duplicated key are
+        unexpected."""
+        domain = gdf.filter(~self._unique_missing(cu))
+
+        if (
+            cu.hll_gate
+            and cu.mostly is None
+            and cu.result_format["result_format"] == "BOOLEAN_ONLY"
+        ):
+            # HLL fast gate (SURVEY.md §2.3 column_values.unique): when the
+            # approximate distinct count is far below the row count the key
+            # is *certainly* duplicated (HLL rsd=0.5% → 5σ margin), so a
+            # BOOLEAN_ONLY check can fail without the exact groupBy pass.
+            # A near-equal estimate proves nothing (HLL may overcount), so
+            # the pass/boundary cases fall through to the exact pass.
+            row = domain.agg(
+                F.approx_count_distinct(F.struct(*cu.key_cols), 0.005).alias("ad"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if row["n"] and row["ad"] < row["n"] * (1 - 0.025):
+                return ExpectationValidationResult(
+                    success=False,
+                    expectation_config=cu.cfg.to_dict(),
+                    result={},
+                )
+
+        vc = salted_value_counts(domain, cu.key_cols)
+        dups = vc.filter(F.col("count") > 1).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats = dups.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).alias("uc"),
+                F.count(F.lit(1)).alias("dup_keys"),
+            ).collect()[0]
+            unexpected_count = int(stats["uc"])
+            dup_keys = int(stats["dup_keys"])
+
+            rf = cu.result_format
+            n_partial = rf["partial_unexpected_count"]
+            partial_list: list[Any] = []
+            partial_counts: list[dict[str, Any]] = []
+            if rf["result_format"] != "BOOLEAN_ONLY" and unexpected_count > 0:
+                # reference marks every row of a duplicated key unexpected →
+                # partial list repeats each key `count` times (capped)
+                key_struct = (
+                    F.col(cu.key_cols[0])
+                    if len(cu.key_cols) == 1
+                    else F.struct(*cu.key_cols)
+                )
+                head = (
+                    dups.select(
+                        F.explode(
+                            F.array_repeat(
+                                key_struct, F.least(F.col("count"), F.lit(n_partial)).cast("int")
+                            )
+                        ).alias("v")
+                    )
+                    .limit(n_partial)
+                    .collect()
+                )
+                partial_list = [_row_value(r["v"]) for r in head]
+                if rf["result_format"] in ("SUMMARY", "COMPLETE"):
+                    top = (
+                        dups.orderBy(F.desc("count"), *cu.key_cols)
+                        .limit(n_partial)
+                        .collect()
+                    )
+                    partial_counts = [
+                        {
+                            "value": _row_value(r[cu.key_cols[0]])
+                            if len(cu.key_cols) == 1
+                            else {c: _row_value(r[c]) for c in cu.key_cols},
+                            "count": int(r["count"]),
+                        }
+                        for r in top
+                    ]
+
+            if self.violations_path and unexpected_count > 0:
+                index_cols = self._effective_index_cols(gdf)
+                viol = (
+                    domain.join(dups.select(*cu.key_cols), on=cu.key_cols, how="left_semi")
+                    .select(
+                        *[F.col(c) for c in index_cols],
+                        F.lit(cu.cfg.expectation_type).alias("expectation"),
+                        F.to_json(F.struct(*cu.key_cols)).alias("observed_value"),
+                    )
+                )
+                violation_frames.append(viol)
+        finally:
+            dups.unpersist()
+
+        success = calc_map_success(element_count, null_count, unexpected_count, cu.mostly)
+        result = format_map_result(
+            result_format=rf,
+            element_count=element_count,
+            null_count=null_count,
+            unexpected_count=unexpected_count,
+            partial_unexpected_list=partial_list,
+            partial_unexpected_counts=partial_counts,
+        )
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            result["details"] = {"duplicate_key_count": dup_keys}
+        return ExpectationValidationResult(
+            success=success, expectation_config=cu.cfg.to_dict(), result=result
+        )
+
+    # ---- meta / relational / query ------------------------------------------
+    def _run_meta(self, cm, df: DataFrame) -> ExpectationValidationResult:
+        success, result = cm.run(df)
+        return ExpectationValidationResult(
+            success=success, expectation_config=cm.cfg.to_dict(), result=result
+        )
+
+    def _run_relational(
+        self, cr: CompiledRelational, df: DataFrame, violation_frames: list[DataFrame]
+    ) -> ExpectationValidationResult:
+        success, result = cr.run(df, self.tables)
+        if self.violations_path and cr.violations is not None:
+            index_cols = self._effective_index_cols(df)
+            column = cr.cfg.kwargs.get("column")
+            viol = cr.violations(df, self.tables).select(
+                *[F.col(c) for c in index_cols],
+                F.lit(cr.cfg.expectation_type).alias("expectation"),
+                F.col(column).cast("string").alias("observed_value"),
+            )
+            violation_frames.append(viol)
+        return ExpectationValidationResult(
+            success=success, expectation_config=cr.cfg.to_dict(), result=result
+        )
+
+    def _run_query(self, cq: CompiledQuery, df: DataFrame) -> ExpectationValidationResult:
+        df.createOrReplaceTempView("active_batch")
+        sql = cq.query.replace("{active_batch}", "active_batch")
+        res = self.spark.sql(sql)
+        n = res.count()
+        head = res.limit(cq.result_format["partial_unexpected_count"]).collect()
+        return ExpectationValidationResult(
+            success=n == 0,
+            expectation_config=cq.cfg.to_dict(),
+            result={
+                "observed_value": int(n),
+                "unexpected_rows": [
+                    {k: _row_value(v) for k, v in r.asDict().items()} for r in head
+                ],
+            },
+        )
+
+
+def validate(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    spark: SparkSession | None = None,
+    **runner_kwargs: Any,
+) -> ExpectationSuiteValidationResult:
+    """Convenience one-shot: ``validate(df, suite)``."""
+    spark = spark or df.sparkSession
+    return SuiteRunner(spark, **runner_kwargs).validate(df, suite)
