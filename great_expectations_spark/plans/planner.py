@@ -93,6 +93,9 @@ class SuitePlan:
     queries: list[CompiledQuery]
     #: preserves suite order for EVR output: (kind, group_idx_or_None, obj)
     ordered: list[tuple[str, Compiled]] = field(default_factory=list)
+    #: configs that failed to compile (bad kwargs / unknown type) — the
+    #: runner turns these into exception EVRs under catch_exceptions
+    broken: list[tuple[Any, Exception, str]] = field(default_factory=list)
 
     @property
     def total_passes(self) -> int:
@@ -112,8 +115,15 @@ def plan_suite(suite: ExpectationSuite) -> SuitePlan:
             groups[row_condition] = DomainGroup(row_condition=row_condition)
         return groups[row_condition]
 
+    broken: list[tuple[Any, Exception, str]] = []
     for cfg in suite:
-        compiled = compile_expectation(cfg)
+        try:
+            compiled = compile_expectation(cfg)
+        except Exception as exc:  # noqa: BLE001 — per-expectation isolation
+            import traceback
+
+            broken.append((cfg, exc, traceback.format_exc()))
+            continue
         if isinstance(compiled, CompiledMap):
             g = group_for(cfg.row_condition)
             if compiled.condition.requires:
@@ -153,4 +163,5 @@ def plan_suite(suite: ExpectationSuite) -> SuitePlan:
         relationals=relationals,
         queries=queries,
         ordered=ordered,
+        broken=broken,
     )

@@ -101,6 +101,20 @@ class SuiteRunner:
         results_by_id: dict[str, ExpectationValidationResult] = {}
         violation_frames: list[DataFrame] = []
 
+        for cfg, exc, tb in plan.broken:
+            if not self.catch_exceptions:
+                raise exc
+            results_by_id[cfg.id] = ExpectationValidationResult(
+                success=False,
+                expectation_config=cfg.to_dict(),
+                result={},
+                exception_info={
+                    "raised_exception": True,
+                    "exception_message": str(exc),
+                    "exception_traceback": tb,
+                },
+            )
+
         for group in plan.groups:
             gdf = df.filter(F.expr(group.row_condition)) if group.row_condition else df
             persisted = False
