@@ -1,0 +1,413 @@
+"""Golden-case corpus over the full expectation catalog — modeled on the
+reference's cross-backend JSON test corpus (SURVEY.md §5:
+``tests/test_definitions/*/*.json``): tiny inline tables + kwargs +
+expected EVR fragments.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from great_expectations_spark import ExpectationSuite, SuiteRunner, validate
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        # conv_id, turn_idx, role, text, tool, n, ts_str, json_str
+        ("c1", 0, "system", "abc", None, 1.0, "2025-01-01", '{"k": 1}'),
+        ("c1", 1, "user", "abcd", None, 2.0, "2025-01-02", '{"k": 2}'),
+        ("c1", 2, "assistant", "xyz9", "tool_a", 3.0, "2025-01-03", "not json"),
+        ("c2", 0, "system", None, None, 4.0, "2025-13-40", '{"k": "s"}'),
+        ("c2", 1, "user", "hello", "ghost", 100.0, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "n double, ts_str string, json_str string",
+    )
+
+
+def run_one(frame, expectation_type, **kwargs):
+    suite = ExpectationSuite("case")
+    suite.add(expectation_type, **kwargs)
+    out = validate(frame, suite)
+    return out.results[0]
+
+
+# ---------------------------------------------------------------------------
+# §2.3 single-column map metrics
+# ---------------------------------------------------------------------------
+
+CASES = [
+    # (expectation_type, kwargs, expected_success, expected_unexpected_count)
+    ("expect_column_values_to_not_be_null", {"column": "text"}, False, 1),
+    ("expect_column_values_to_be_null", {"column": "tool", "mostly": 0.6}, True, 2),
+    ("expect_column_values_to_be_in_set",
+     {"column": "role", "value_set": ["system", "user", "assistant"]}, True, 0),
+    ("expect_column_values_to_be_in_set",
+     {"column": "role", "value_set": []}, False, 5),  # empty set: all unexpected
+    ("expect_column_values_to_not_be_in_set",
+     {"column": "role", "value_set": ["assistant"]}, False, 1),
+    ("expect_column_values_to_be_between",
+     {"column": "n", "min_value": 1.0, "max_value": 4.0}, False, 1),
+    ("expect_column_values_to_be_between",
+     {"column": "n", "min_value": 1.0, "max_value": 100.0, "strict_max": True},
+     False, 1),
+    ("expect_column_values_to_be_between",
+     {"column": "n", "min_value": None, "max_value": None}, True, 0),
+    ("expect_column_value_lengths_to_be_between",
+     {"column": "text", "min_value": 3, "max_value": 4}, False, 1),  # "hello"=5
+    ("expect_column_value_lengths_to_equal",
+     {"column": "conv_id", "value": 2}, True, 0),
+    ("expect_column_values_to_match_regex",
+     {"column": "text", "regex": r"^[a-z]+$"}, False, 1),  # xyz9
+    ("expect_column_values_to_not_match_regex",
+     {"column": "text", "regex": r"\d"}, False, 1),
+    ("expect_column_values_to_match_regex_list",
+     {"column": "role", "regex_list": [r"^sys", r"^user$", r"ant$"],
+      "match_on": "any"}, True, 0),
+    ("expect_column_values_to_match_regex_list",
+     {"column": "role", "regex_list": [r"^s", r"m$"], "match_on": "all"},
+     False, 3),
+    ("expect_column_values_to_not_match_regex_list",
+     {"column": "role", "regex_list": [r"bogus", r"nope"]}, True, 0),
+    ("expect_column_values_to_match_like_pattern",
+     {"column": "conv_id", "like_pattern": "c%"}, True, 0),
+    ("expect_column_values_to_not_match_like_pattern",
+     {"column": "conv_id", "like_pattern": "d%"}, True, 0),
+    ("expect_column_values_to_match_like_pattern_list",
+     {"column": "role", "like_pattern_list": ["sys%", "user", "%ant"]}, True, 0),
+    ("expect_column_values_to_not_match_like_pattern_list",
+     {"column": "role", "like_pattern_list": ["zzz%"]}, True, 0),
+    ("expect_column_values_to_match_strftime_format",
+     {"column": "ts_str", "strftime_format": "%Y-%m-%d"}, False, 1),  # 2025-13-40
+    ("expect_column_values_to_be_dateutil_parseable",
+     {"column": "ts_str"}, False, 1),
+    ("expect_column_values_to_be_json_parseable",
+     {"column": "json_str"}, False, 1),
+    ("expect_column_values_to_match_json_schema",
+     {"column": "json_str",
+      "json_schema": {"type": "object", "properties": {"k": {"type": "integer"}},
+                      "required": ["k"]}},
+     False, 2),  # "not json" + {"k":"s"}
+    ("expect_column_value_z_scores_to_be_less_than",
+     {"column": "n", "threshold": 1.5, "double_sided": True}, False, 1),  # 100 is the outlier
+    # pair/multicolumn (§2.4)
+    ("expect_column_pair_values_to_be_equal",
+     {"column_A": "conv_id", "column_B": "conv_id"}, True, 0),
+    ("expect_column_pair_values_a_to_be_greater_than_b",
+     {"column_A": "n", "column_B": "turn_idx"}, True, 0),
+    ("expect_column_pair_values_to_be_in_set",
+     {"column_A": "role", "column_B": "tool",
+      "value_pairs_set": [["assistant", "tool_a"], ["user", "ghost"]],
+      "ignore_row_if": "either_value_is_missing"}, True, 0),
+    ("expect_multicolumn_sum_to_equal",
+     {"column_list": ["turn_idx", "n"], "sum_total": 1.0, "mostly": 0.2},
+     True, 4),  # only row 1: 0+1=1
+    ("expect_select_column_values_to_be_unique_within_record",
+     {"column_list": ["conv_id", "role", "text"]}, True, 0),
+    # uniqueness
+    ("expect_column_values_to_be_unique", {"column": "n"}, True, 0),
+    ("expect_column_values_to_be_unique", {"column": "conv_id"}, False, 5),
+    ("expect_compound_columns_to_be_unique",
+     {"column_list": ["conv_id", "turn_idx"]}, True, 0),
+]
+
+
+@pytest.mark.parametrize("etype,kwargs,succ,uc", CASES,
+                         ids=[f"{c[0]}_{i}" for i, c in enumerate(CASES)])
+def test_map_cases(df, etype, kwargs, succ, uc):
+    evr = run_one(df, etype, **kwargs)
+    assert evr.exception_info["raised_exception"] is False, evr.exception_info[
+        "exception_message"
+    ]
+    assert evr.success is succ
+    assert evr.result["unexpected_count"] == uc
+
+
+# ---------------------------------------------------------------------------
+# window-backed map metrics
+# ---------------------------------------------------------------------------
+
+def test_increasing_per_conversation(df):
+    evr = run_one(
+        df,
+        "expect_column_values_to_be_increasing",
+        column="turn_idx",
+        strictly=True,
+        partition_by="conv_id",
+        order_by="turn_idx",
+    )
+    assert evr.success is True
+
+
+def test_increasing_detects_violation(spark):
+    frame = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 5)], "k string, v int"
+    )
+    evr = run_one(
+        frame, "expect_column_values_to_be_increasing",
+        column="v", strictly=True, partition_by="k", order_by="v",
+    )
+    assert evr.success is False
+    assert evr.result["unexpected_count"] == 1
+
+
+def test_decreasing(spark):
+    frame = spark.createDataFrame([(3,), (2,), (1,)], "v int")
+    evr = run_one(frame, "expect_column_values_to_be_decreasing", column="v")
+    assert evr.success is True
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregates
+# ---------------------------------------------------------------------------
+
+AGG_CASES = [
+    ("expect_column_mean_to_be_between",
+     {"column": "n", "min_value": 21.9, "max_value": 22.1}, True, 22.0),
+    ("expect_column_stdev_to_be_between",
+     {"column": "turn_idx", "min_value": 0.5, "max_value": 1.0}, True, None),
+    ("expect_column_min_to_be_between",
+     {"column": "n", "min_value": 0, "max_value": 1}, True, 1.0),
+    ("expect_column_max_to_be_between",
+     {"column": "n", "min_value": 100, "max_value": 100}, True, 100.0),
+    ("expect_column_sum_to_be_between",
+     {"column": "n", "min_value": 110, "max_value": 110}, True, 110.0),
+    ("expect_column_median_to_be_between",
+     {"column": "n", "min_value": 3.0, "max_value": 3.0}, True, 3.0),
+    ("expect_column_unique_value_count_to_be_between",
+     {"column": "role", "min_value": 3, "max_value": 3}, True, 3),
+    ("expect_column_proportion_of_unique_values_to_be_between",
+     {"column": "conv_id", "min_value": 0.4, "max_value": 0.4}, True, 0.4),
+    ("expect_table_row_count_to_be_between",
+     {"min_value": 5, "max_value": 5}, True, 5),
+    ("expect_table_row_count_to_equal", {"value": 5}, True, 5),
+    ("expect_column_distinct_values_to_be_in_set",
+     {"column": "role", "value_set": ["system", "user", "assistant", "tool"]},
+     True, None),
+    ("expect_column_distinct_values_to_contain_set",
+     {"column": "role", "value_set": ["system", "user"]}, True, None),
+    ("expect_column_distinct_values_to_equal_set",
+     {"column": "role", "value_set": ["system", "user", "assistant"]}, True, None),
+    ("expect_column_most_common_value_to_be_in_set",
+     {"column": "role", "value_set": ["system", "user"], "ties_okay": True},
+     True, None),
+]
+
+
+@pytest.mark.parametrize("etype,kwargs,succ,observed", AGG_CASES,
+                         ids=[c[0] for c in AGG_CASES])
+def test_agg_cases(df, etype, kwargs, succ, observed):
+    evr = run_one(df, etype, **kwargs)
+    assert evr.exception_info["raised_exception"] is False, evr.exception_info[
+        "exception_message"
+    ]
+    assert evr.success is succ
+    if observed is not None:
+        assert evr.result["observed_value"] == pytest.approx(observed)
+
+
+def test_quantile_values(df):
+    evr = run_one(
+        df,
+        "expect_column_quantile_values_to_be_between",
+        column="n",
+        quantile_ranges={
+            "quantiles": [0.0, 0.5, 1.0],
+            "value_ranges": [[1, 1], [2, 4], [100, 100]],
+        },
+    )
+    assert evr.success is True
+    ov = evr.result["observed_value"]
+    assert ov["quantiles"] == [0.0, 0.5, 1.0]
+    assert ov["values"][0] == 1.0 and ov["values"][2] == 100.0
+
+
+def test_metric_dedup_single_bundle(df):
+    """Ten between-checks share one row_count metric and one bundle — the
+    engine's aggregate-bundling contract (SURVEY.md §4.1)."""
+    from great_expectations_spark.plans.planner import plan_suite
+
+    suite = ExpectationSuite("dedup")
+    for _ in range(5):
+        suite.add("expect_column_mean_to_be_between", column="n", min_value=0)
+        suite.add("expect_table_row_count_to_be_between", min_value=0)
+    plan = plan_suite(suite)
+    assert len(plan.groups) == 1
+    exprs = plan.groups[0].bundle_exprs()
+    # 1 shared element_count + 1 deduped mean + 1 deduped row_count
+    assert set(exprs) == {"element_count", "mean__n", "table_row_count"}
+
+
+# ---------------------------------------------------------------------------
+# §2.6 meta + §2.4 relational + §2.8 query
+# ---------------------------------------------------------------------------
+
+META_CASES = [
+    ("expect_column_to_exist", {"column": "role"}, True),
+    ("expect_column_to_exist", {"column": "nope"}, False),
+    ("expect_column_to_exist", {"column": "conv_id", "column_index": 0}, True),
+    ("expect_table_columns_to_match_ordered_list",
+     {"column_list": ["conv_id", "turn_idx", "role", "text", "tool", "n",
+                      "ts_str", "json_str"]}, True),
+    ("expect_table_columns_to_match_set",
+     {"column_set": ["role", "conv_id"], "exact_match": False}, True),
+    ("expect_table_column_count_to_equal", {"value": 8}, True),
+    ("expect_table_column_count_to_be_between", {"min_value": 5}, True),
+    ("expect_column_values_to_be_of_type", {"column": "role", "type_": "StringType"}, True),
+    ("expect_column_values_to_be_of_type", {"column": "n", "type_": "double"}, True),
+    ("expect_column_values_to_be_in_type_list",
+     {"column": "turn_idx", "type_list": ["IntegerType", "LongType"]}, True),
+]
+
+
+@pytest.mark.parametrize("etype,kwargs,succ", META_CASES,
+                         ids=[f"{c[0]}_{i}" for i, c in enumerate(META_CASES)])
+def test_meta_cases(df, etype, kwargs, succ):
+    evr = run_one(df, etype, **kwargs)
+    assert evr.success is succ
+
+
+def test_referential_exist_in(spark, df):
+    tools_dim = spark.createDataFrame(
+        [("tool_a", "x")], "tool_name string, category string"
+    )
+    suite = ExpectationSuite("ref")
+    suite.add(
+        "expect_column_values_to_exist_in",
+        column="tool", other_table="tools", other_column="tool_name",
+    )
+    runner = SuiteRunner(spark, tables={"tools": tools_dim})
+    out = runner.validate(df, suite)
+    evr = out.results[0]
+    assert evr.success is False  # "ghost" dangles
+    assert evr.result["unexpected_count"] == 1
+    assert evr.result["missing_count"] == 3  # NULL tools are missing, not violations
+
+
+def test_row_count_vs_other_table(spark, df):
+    suite = ExpectationSuite("rc2")
+    suite.add("expect_table_row_count_to_equal_other_table", other_table="other")
+    runner = SuiteRunner(spark, tables={"other": df.limit(3)})
+    out = runner.validate(df, suite)
+    assert out.results[0].success is False
+    assert out.results[0].result["observed_value"] == {"self": 5, "other": 3}
+
+
+def test_query_expectation(spark, df):
+    suite = ExpectationSuite("q")
+    suite.add(
+        "expect_query_to_return_no_unexpected_rows",
+        query="SELECT * FROM {active_batch} WHERE n > 1000",
+    )
+    out = SuiteRunner(spark).validate(df, suite)
+    assert out.results[0].success is True
+
+    suite = ExpectationSuite("q2")
+    suite.add(
+        "expect_query_to_return_no_unexpected_rows",
+        query="SELECT conv_id FROM {active_batch} GROUP BY conv_id HAVING count(*) > 2",
+    )
+    out = SuiteRunner(spark).validate(df, suite)
+    assert out.results[0].success is False
+    assert out.results[0].result["observed_value"] == 1  # c1 has 3 turns
+
+
+# ---------------------------------------------------------------------------
+# KL divergence (§2.5)
+# ---------------------------------------------------------------------------
+
+def test_kl_categorical_pass(df):
+    evr = run_one(
+        df,
+        "expect_column_kl_divergence_to_be_less_than",
+        column="role",
+        partition_object={"values": ["system", "user", "assistant"],
+                          "weights": [0.4, 0.4, 0.2]},
+        threshold=0.1,
+    )
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is True
+    assert evr.result["observed_value"] < 0.1
+    assert "observed_partition" in evr.result["details"]
+
+
+def test_kl_categorical_unseen_value_inf(spark):
+    frame = spark.createDataFrame([("a",), ("b",), ("z",)], "v string")
+    evr = run_one(
+        frame,
+        "expect_column_kl_divergence_to_be_less_than",
+        column="v",
+        partition_object={"values": ["a", "b"], "weights": [0.5, 0.5]},
+        threshold=10.0,
+    )
+    assert evr.success is False  # observed "z" with zero holdout → KL = ∞
+    assert evr.to_dict()["result"]["observed_value"] is None  # inf → JSON null
+
+    evr2 = run_one(
+        frame,
+        "expect_column_kl_divergence_to_be_less_than",
+        column="v",
+        partition_object={"values": ["a", "b"], "weights": [0.5, 0.5]},
+        threshold=10.0,
+        tail_weight_holdout=0.1,
+    )
+    assert evr2.success is True  # holdout absorbs the unseen value
+
+
+def test_kl_continuous(spark):
+    frame = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    evr = run_one(
+        frame,
+        "expect_column_kl_divergence_to_be_less_than",
+        column="v",
+        partition_object={"bins": [0.0, 25.0, 50.0, 75.0, 100.0],
+                          "weights": [0.25, 0.25, 0.25, 0.25]},
+        threshold=0.01,
+    )
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is True
+    details = evr.result["details"]["observed_partition"]
+    assert details["weights"] == pytest.approx([0.25, 0.25, 0.25, 0.25])
+
+
+def test_kl_continuous_out_of_range(spark):
+    frame = spark.createDataFrame([(v,) for v in [1.0, 2.0, 500.0]], "v double")
+    p = {"bins": [0.0, 5.0, 10.0], "weights": [0.8, 0.2]}
+    evr = run_one(
+        frame, "expect_column_kl_divergence_to_be_less_than",
+        column="v", partition_object=p, threshold=100.0,
+    )
+    assert evr.success is False  # mass above range, no tail weights → ∞
+
+    evr2 = run_one(
+        frame, "expect_column_kl_divergence_to_be_less_than",
+        column="v", partition_object=p, threshold=100.0,
+        tail_weight_holdout=0.2,
+    )
+    assert evr2.success is True
+
+
+# ---------------------------------------------------------------------------
+# mostly edge semantics + invariants (SURVEY.md §5 property row)
+# ---------------------------------------------------------------------------
+
+def test_mostly_boundary_exact(spark):
+    frame = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    # 8/10 pass, mostly=0.8 → success (>=)
+    evr = run_one(frame, "expect_column_values_to_be_between",
+                  column="v", min_value=0, max_value=7, mostly=0.8)
+    assert evr.success is True
+    evr = run_one(frame, "expect_column_values_to_be_between",
+                  column="v", min_value=0, max_value=7, mostly=0.81)
+    assert evr.success is False
+
+
+def test_count_invariants(df):
+    evr = run_one(df, "expect_column_values_to_match_regex",
+                  column="text", regex="^a")
+    r = evr.result
+    assert r["unexpected_count"] <= r["element_count"] - r["missing_count"]
+    assert r["missing_count"] + r["unexpected_count"] <= r["element_count"]
