@@ -188,6 +188,115 @@ def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (operators/)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text — rows kept (operators/dedup.py)."""
+    from great_expectations_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "text", "doc_id")
+    return kept.agg(F.count(F.lit(1)).cast("long").alias("kept_rows"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token totals: whitespace + BPE-ish regex segmentation
+    (operators/textstats.py)."""
+    from great_expectations_spark.operators import textstats as T
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.agg(
+        F.sum(T.token_count_ws("text")).cast("long").alias("ws_tokens"),
+        F.sum(T.token_count_bpe_ish("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: docs passing alpha-ratio ≥ 0.6 AND ≥ 20 ws-tokens."""
+    from great_expectations_spark.operators import textstats as T
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    feats = T.quality_features(F.col("text"))
+    passing = docs.filter(
+        (feats["alpha_ratio"] >= 0.6) & (feats["n_tokens"] >= 20)
+    )
+    return passing.agg(F.count(F.lit(1)).cast("long").alias("passing_docs"))
+
+
+def q_lang_en_stopword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose English-stopword hit fraction ≥ 0.05 (the 'en' vote of
+    the stopword-profile language ID)."""
+    from great_expectations_spark.operators.textstats import (
+        STOPWORD_PROFILES,
+        tokens,
+    )
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokens("text")
+    sw = F.array(*[F.lit(w) for w in STOPWORD_PROFILES["en"]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    return (
+        docs.filter(ratio >= 0.05)
+        .agg(F.count(F.lit(1)).cast("long").alias("en_docs"))
+    )
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pair count at cosine ≥ 0.95 (the
+    brute-force correctness baseline of operators/dedup.py; the LSH variant
+    is the scale path, checked rows-only below)."""
+    from great_expectations_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pairs = embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.95, exact=True
+    )
+    return pairs.agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"))
+
+
+def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-1 neighbor for the first 8 vectors."""
+    from great_expectations_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(q, emb, "vec_id", "embedding", k=1)
+    return top.select("query_id", "neighbor_id").orderBy("query_id")
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (xxhash64-based → no SQL oracle;
+    rows-only driver check)."""
+    from great_expectations_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _load(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, "text", "doc_id", n_hashes=64, bands=16, shingle_size=4,
+        min_jaccard=0.8,
+    )
+    return cand.agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    from great_expectations_spark.operators.dedup import simhash_candidates
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+    return pairs.agg(F.count(F.lit(1)).cast("long").alias("simhash_pairs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_not_null": q_map_not_null,
@@ -201,6 +310,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_row_count": q_table_row_count,
         "distinct_count": q_distinct_count,
         "value_counts": q_value_counts,
+        "exact_dedup_kept": q_exact_dedup_kept,
+        "token_counts": q_token_counts,
+        "quality_filter": q_quality_filter,
+        "lang_en_stopword_gate": q_lang_en_stopword_gate,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "ann_top1": q_ann_top1,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -258,4 +375,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events "
             "WHERE event_type IS NOT NULL GROUP BY event_type ORDER BY event_type"
         ),
+        "exact_dedup_kept": (
+            "SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), "
+            "'\\s+', ' ', 'g')) + count(*) FILTER (WHERE text IS NULL) AS BIGINT)"
+            " AS kept_rows FROM documents"
+        ),
+        "token_counts": (
+            "SELECT CAST(sum(len(list_filter(string_split_regex(lower(trim(text)),"
+            " '\\s+'), x -> len(x) > 0))) AS BIGINT) AS ws_tokens, "
+            "CAST(sum(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT) AS bpe_tokens "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
+        "quality_filter": (
+            "SELECT CAST(count(*) AS BIGINT) AS passing_docs FROM documents "
+            "WHERE text IS NOT NULL "
+            "AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+            " >= 0.6 * length(text) "
+            "AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+            " x -> len(x) > 0)) >= 20"
+        ),
+        "lang_en_stopword_gate": (
+            "WITH t AS (SELECT list_filter(string_split_regex(lower(trim(text)),"
+            " '\\s+'), x -> len(x) > 0) AS toks FROM documents"
+            " WHERE text IS NOT NULL) "
+            "SELECT CAST(count(*) AS BIGINT) AS en_docs FROM t WHERE"
+            " len(toks) > 0 AND len(list_filter(toks, x -> x IN ("
+            "'the','of','and','to','in','is','it','you','that','was','for',"
+            "'on','are','with','as','this','have','from','they')))"
+            " >= 0.05 * len(toks)"
+        ),
+        "cosine_dup_pairs": (
+            "SELECT CAST(count(*) AS BIGINT) AS dup_pairs FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "ann_top1": (
+            "SELECT query_id, neighbor_id FROM ("
+            "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(a.embedding, b.embedding) DESC,"
+            " b.vec_id ASC) AS rnk "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id "
+            "WHERE a.vec_id < 8) WHERE rnk = 1 ORDER BY query_id"
+        ),
+        # minhash_pairs / simhash_pairs: xxhash64-based signatures are not
+        # reproducible in DuckDB SQL → rows-only driver check (by design).
     }

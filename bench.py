@@ -1,0 +1,269 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline workload (the north_rule metric is *validated turns/sec for the
+full expectation-suite run*):
+
+- ``suite_transcripts``: full constraint suite (not_null, unique
+  (conv_id,turn_idx), in_set(role), mean/stddev/quantile-between over
+  turn_idx and length(text), referential tool→dim, KL-divergence of the
+  text-length distribution vs a baseline profile) over a deterministic
+  synthetic transcripts table scaled to the sf (BASELINE.json north_star).
+- ``suite_lineitem``: the flagship mixed suite over the TPC-H-ish lineitem.
+- ``unique_salted`` / ``referential_anti`` / ``kl_text_len``: the three
+  scale-critical operators in isolation.
+- ``minhash_dedup`` / ``ann_topk`` (when operators module present):
+  training-data pipeline ops over documents/embeddings.
+
+Environment:
+    SPARK_GRAFT_SF_DIR  parquet dir   (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[N]      (default 32)
+    BENCH_TURNS         transcript rows override (default 2_000_000 * sf * 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+SF = _sf_of(SF_DIR)
+# transcripts scale: sf0.1 → 2M turns (~same order as 600k-row lineitem × suite
+# passes); deterministic, generated once and cached as parquet.
+N_TURNS = int(os.environ.get("BENCH_TURNS", str(max(20_000, int(20_000_000 * SF)))))
+
+
+def build_spark(cpus: int = CPUS) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"gx-spark-bench-sf{SF}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def transcripts_path(spark: SparkSession) -> str:
+    """Generate-once parquet cache of the deterministic transcripts table."""
+    from great_expectations_spark.schema import generate_transcripts
+
+    path = os.path.join(CACHE_ROOT, f"transcripts_{N_TURNS}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_transcripts(spark, n_turns=N_TURNS, seed=42).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _load(spark, name):
+    return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# headline queries — each returns a small materialized value (forces the job)
+# --------------------------------------------------------------------------
+
+def q_suite_transcripts(spark: SparkSession) -> dict:
+    from great_expectations_spark import ExpectationSuite, SuiteRunner
+    from great_expectations_spark.profile import build_continuous_partition_object
+    from great_expectations_spark.schema import generate_tools_dim
+
+    tdf = spark.read.parquet(transcripts_path(spark))
+    tools = generate_tools_dim(spark)
+
+    baseline = build_continuous_partition_object(
+        tdf.select(F.length("text").alias("len")), "len", bins="uniform", n_bins=20
+    )
+
+    suite = ExpectationSuite("north-star")
+    suite.add("expect_column_values_to_not_be_null", column="text", mostly=0.99)
+    suite.add("expect_column_values_to_not_be_null", column="conv_id")
+    suite.add("expect_compound_columns_to_be_unique",
+              column_list=["conv_id", "turn_idx"])
+    suite.add("expect_column_values_to_be_in_set", column="role",
+              value_set=["system", "user", "assistant", "tool"], mostly=0.98)
+    suite.add("expect_column_mean_to_be_between", column="turn_idx",
+              min_value=0.0, max_value=500.0)
+    suite.add("expect_column_stdev_to_be_between", column="turn_idx",
+              min_value=0.0, max_value=10_000.0)
+    suite.add("expect_column_quantile_values_to_be_between", column="turn_idx",
+              quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
+                               "value_ranges": [[0, None], [0, None], [0, None]]})
+    suite.add("expect_column_values_to_exist_in", column="tool",
+              other_table="tools", other_column="tool_name", mostly=0.99)
+    suite.add("expect_column_kl_divergence_to_be_less_than",
+              column="__text_len", partition_object=baseline, threshold=0.5)
+    suite.add("expect_column_values_to_be_increasing", column="turn_idx",
+              strictly=True, partition_by="conv_id", order_by="turn_idx")
+
+    tdf2 = tdf.withColumn("__text_len", F.length("text"))
+    runner = SuiteRunner(
+        spark, tables={"tools": tools},
+        unexpected_index_column_names=["conv_id", "turn_idx"],
+    )
+    res = runner.validate(tdf2, suite)
+    return {
+        "rows": N_TURNS,
+        "success_pct": res.statistics["success_percent"],
+        "evaluated": res.statistics["evaluated_expectations"],
+    }
+
+
+def q_suite_lineitem(spark: SparkSession) -> dict:
+    from great_expectations_spark import ExpectationSuite, SuiteRunner
+
+    li = _load(spark, "lineitem")
+    suite = ExpectationSuite("flagship")
+    suite.add("expect_column_values_to_not_be_null", column="l_orderkey")
+    suite.add("expect_column_values_to_be_between", column="l_discount",
+              min_value=0.0, max_value=0.1)
+    suite.add("expect_column_values_to_be_in_set", column="l_returnflag",
+              value_set=["A", "N", "R"])
+    suite.add("expect_column_mean_to_be_between", column="l_quantity",
+              min_value=1.0, max_value=50.0)
+    suite.add("expect_column_quantile_values_to_be_between",
+              column="l_extendedprice",
+              quantile_ranges={"quantiles": [0.5], "value_ranges": [[0.0, None]]})
+    suite.add("expect_compound_columns_to_be_unique",
+              column_list=["l_orderkey", "l_linenumber"])
+    suite.add("expect_table_row_count_to_be_between", min_value=1)
+    res = SuiteRunner(spark).validate(li, suite)
+    return {"evaluated": res.statistics["evaluated_expectations"]}
+
+
+def q_unique_salted(spark: SparkSession) -> dict:
+    from great_expectations_spark.skew import salted_value_counts
+
+    li = _load(spark, "lineitem")
+    vc = salted_value_counts(li, ["l_orderkey", "l_linenumber"])
+    n = vc.filter(F.col("count") > 1).count()
+    return {"dup_keys": n}
+
+
+def q_referential_anti(spark: SparkSession) -> dict:
+    orders, customer = _load(spark, "orders"), _load(spark, "customer")
+    dim = customer.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    n = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(dim), "o_custkey", "left_anti")
+        .count()
+    )
+    return {"orphans": n}
+
+
+def q_kl_text_len(spark: SparkSession) -> dict:
+    from great_expectations_spark.profile import (
+        build_continuous_partition_object,
+        kl_divergence_metric,
+    )
+
+    docs = _load(spark, "documents").select(F.length("text").alias("len"))
+    baseline = build_continuous_partition_object(docs, "len", n_bins=20)
+    metric = kl_divergence_metric("len", baseline)
+    vals = docs.agg(
+        *[e.alias(a) for a, e in metric.exprs.items()]
+    ).collect()[0].asDict()
+    return {"kl": float(metric.finalize(vals))}
+
+
+def q_minhash_dedup(spark: SparkSession) -> dict:
+    from great_expectations_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _load(spark, "documents")
+    cand = minhash_lsh_candidates(
+        docs, text_col="text", id_col="doc_id",
+        n_hashes=64, bands=16, shingle_size=4, min_jaccard=0.8,
+    )
+    return {"candidate_pairs": cand.count()}
+
+
+def q_ann_topk(spark: SparkSession) -> dict:
+    from great_expectations_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, "embeddings")
+    queries = emb.limit(16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(queries, emb, id_col="vec_id",
+                           vec_col="embedding", k=10)
+    return {"result_rows": top.count()}
+
+
+def q_text_stats(spark: SparkSession) -> dict:
+    from great_expectations_spark.operators.textstats import text_quality_profile
+
+    docs = _load(spark, "documents")
+    prof = text_quality_profile(docs, "text")
+    n = prof.agg(F.count(F.lit(1))).collect()[0][0]
+    return {"rows": n}
+
+
+def main() -> None:
+    spark = build_spark()
+    # warm the JVM + generate the transcripts cache outside timed region
+    transcripts_path(spark)
+    _load(spark, "lineitem").count()
+
+    queries = {
+        "suite_transcripts": q_suite_transcripts,
+        "suite_lineitem": q_suite_lineitem,
+        "unique_salted": q_unique_salted,
+        "referential_anti": q_referential_anti,
+        "kl_text_len": q_kl_text_len,
+        "minhash_dedup": q_minhash_dedup,
+        "ann_topk": q_ann_topk,
+        "text_stats": q_text_stats,
+    }
+
+    timings: dict[str, float] = {}
+    extras: dict[str, dict] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        try:
+            extras[name] = fn(spark)
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            timings[name] = -1.0
+            extras[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    suite_s = timings.get("suite_transcripts", 0)
+    out = {
+        "metric": "full-suite validation wall time (headline: validated turns/sec on transcripts)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "cpus": CPUS,
+        "transcript_turns": N_TURNS,
+        "turns_per_sec": round(N_TURNS / suite_s, 1) if suite_s and suite_s > 0 else None,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,343 @@
+"""Resumable checkpointed validation runs (SURVEY.md §7.2 M8).
+
+The reference's ``Checkpoint`` (great_expectations/checkpoint/checkpoint.py,
+≈1.5k LoC, unverified per SURVEY.md §0) is a batch-run config object: it
+resolves (batch_request × suite) pairs and stores one validation result per
+batch. Our engine lifts that to the north_rule contract:
+
+- the input table is validated **per partition** (an Iceberg partition value
+  or, in the sandbox, a distinct value of a partition column of a
+  dir-partitioned parquet table — Catalyst prunes the scan to one partition
+  per run unit);
+- every finished partition appends one **manifest row** with lineage +
+  metrics ``(run_id, partition_id, status, rows_scanned, violations,
+  elapsed_s, suite_hash, element_count, unexpected_count, finished_ts)``;
+- a re-run with the same ``(suite_hash, partition_id)`` is **skipped**
+  (resume = anti-diff against the manifest, computed driver-side from a
+  manifest read — the manifest is tiny: one row per partition);
+- suite-level statistics are re-derivable by **merging** the per-partition
+  counters (counts add; ``mostly`` re-evaluated on merged counts) — see
+  :func:`merge_map_counts`. This mirrors the reference's
+  AGGREGATE_FN partial → finalize split lifted to partition granularity
+  (SURVEY.md §4.2 item 5).
+
+Determinism: nothing here uses unseeded randomness; the manifest is the only
+state, so kill/resume at any point re-runs at most the one in-flight
+partition (writes are atomic per partition: parquet append of a 1-row
+DataFrame after the partition's validation completes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from great_expectations_spark.result import (
+    ExpectationSuiteValidationResult,
+    calc_map_success,
+)
+from great_expectations_spark.runner import SuiteRunner
+from great_expectations_spark.suite import ExpectationSuite
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", StringType()),
+        StructField("status", StringType()),
+        StructField("suite_hash", StringType()),
+        StructField("rows_scanned", LongType()),
+        StructField("violations", LongType()),
+        StructField("elapsed_s", DoubleType()),
+        StructField("success", BooleanType()),
+        StructField("finished_ts", TimestampType()),
+    ]
+)
+
+#: per-(partition × expectation) mergeable counters — the "metrics" half of
+#: the manifest. Counts add across partitions; observed_value is kept for
+#: aggregate expectations (not mergeable in general → suite-level aggregates
+#: are reported per partition, the north_rule's per-partition pass/fail).
+EVR_ROW_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", StringType()),
+        StructField("expectation_type", StringType()),
+        StructField("expectation_id", StringType()),
+        StructField("success", BooleanType()),
+        StructField("element_count", LongType()),
+        StructField("missing_count", LongType()),
+        StructField("unexpected_count", LongType()),
+        StructField("observed_value", StringType()),
+    ]
+)
+
+
+def suite_hash(suite: ExpectationSuite) -> str:
+    """Deterministic digest of the suite definition — a manifest row only
+    counts as 'done' for the exact suite it was produced by."""
+    payload = json.dumps(
+        [cfg.to_dict() for cfg in suite], sort_keys=True, default=str
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+@dataclass
+class PartitionRunRecord:
+    partition_id: str
+    status: str  # "validated" | "skipped" | "failed"
+    result: ExpectationSuiteValidationResult | None = None
+    rows_scanned: int = 0
+    violations: int = 0
+    elapsed_s: float = 0.0
+
+
+@dataclass
+class CheckpointRunResult:
+    run_id: str
+    suite_hash: str
+    records: list[PartitionRunRecord] = field(default_factory=list)
+
+    @property
+    def validated(self) -> list[PartitionRunRecord]:
+        return [r for r in self.records if r.status == "validated"]
+
+    @property
+    def skipped(self) -> list[PartitionRunRecord]:
+        return [r for r in self.records if r.status == "skipped"]
+
+    @property
+    def success(self) -> bool:
+        return all(
+            r.result.success for r in self.records if r.result is not None
+        )
+
+
+def merge_map_counts(
+    per_partition: list[dict[str, Any]], mostly: float | None = None
+) -> dict[str, Any]:
+    """Merge per-partition map-expectation counters into suite-level ones.
+
+    counts add; success is re-evaluated on the merged counts with the same
+    ``mostly`` rule (reference `_calc_map_expectation_success`, SURVEY.md
+    §1.4). This is what makes per-partition EVRs sufficient state for a
+    resumable suite-level verdict.
+    """
+    element_count = sum(int(p.get("element_count") or 0) for p in per_partition)
+    missing_count = sum(int(p.get("missing_count") or 0) for p in per_partition)
+    unexpected_count = sum(
+        int(p.get("unexpected_count") or 0) for p in per_partition
+    )
+    return {
+        "element_count": element_count,
+        "missing_count": missing_count,
+        "unexpected_count": unexpected_count,
+        "success": calc_map_success(
+            element_count, missing_count, unexpected_count, mostly
+        ),
+    }
+
+
+class Checkpoint:
+    """Named, re-runnable (table × suite) validation with a resume manifest.
+
+    Parameters
+    ----------
+    spark : session
+    manifest_path : parquet dir holding the manifest table (created lazily)
+    evr_path : optional parquet dir for per-(partition × expectation) EVR
+        counter rows (the mergeable metrics store)
+    violations_path : optional violations sink forwarded to SuiteRunner
+    runner_kwargs : forwarded to :class:`SuiteRunner`
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        manifest_path: str,
+        evr_path: str | None = None,
+        violations_path: str | None = None,
+        **runner_kwargs: Any,
+    ) -> None:
+        self.spark = spark
+        self.manifest_path = manifest_path
+        self.evr_path = evr_path
+        self.violations_path = violations_path
+        self.runner_kwargs = runner_kwargs
+
+    # ------------------------------------------------------------ manifest io
+    def read_manifest(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(MANIFEST_SCHEMA).parquet(
+                self.manifest_path
+            )
+        except Exception:  # noqa: BLE001 — first run: no manifest yet
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def completed_partitions(self, shash: str) -> set[str]:
+        rows = (
+            self.read_manifest()
+            .filter(
+                (F.col("suite_hash") == shash)
+                & (F.col("status") == "validated")
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def _append_manifest(self, row: dict[str, Any]) -> None:
+        import datetime as _dt
+
+        row = dict(row, finished_ts=_dt.datetime.now())
+        self.spark.createDataFrame([row], MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.manifest_path)
+
+    def _append_evrs(
+        self,
+        run_id: str,
+        partition_id: str,
+        result: ExpectationSuiteValidationResult,
+    ) -> None:
+        if not self.evr_path:
+            return
+        rows = []
+        for r in result.results:
+            res = r.result or {}
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "partition_id": partition_id,
+                    "expectation_type": r.expectation_config.get(
+                        "expectation_type"
+                    ),
+                    "expectation_id": r.expectation_config.get("id"),
+                    "success": bool(r.success),
+                    "element_count": int(res.get("element_count") or 0),
+                    "missing_count": int(res.get("missing_count") or 0),
+                    "unexpected_count": int(res.get("unexpected_count") or 0),
+                    "observed_value": json.dumps(
+                        res.get("observed_value"), default=str
+                    ),
+                }
+            )
+        self.spark.createDataFrame(rows, EVR_ROW_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.evr_path)
+
+    # ------------------------------------------------------------------- run
+    def run(
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        run_id: str,
+        partition_col: str,
+        partition_values: list[Any] | None = None,
+        fail_partition: Any = None,
+    ) -> CheckpointRunResult:
+        """Validate ``df`` partition-by-partition, resuming from the manifest.
+
+        ``partition_values`` defaults to the distinct values of
+        ``partition_col`` (one extra scan of that column only — prunable).
+        ``fail_partition`` is a test hook: raises mid-run after that
+        partition would start, simulating a kill for resume tests.
+        """
+        shash = suite_hash(suite)
+        done = self.completed_partitions(shash)
+        if partition_values is None:
+            partition_values = sorted(
+                r[partition_col]
+                for r in df.select(partition_col).distinct().collect()
+            )
+
+        out = CheckpointRunResult(run_id=run_id, suite_hash=shash)
+        runner = SuiteRunner(
+            self.spark,
+            violations_path=self.violations_path,
+            **self.runner_kwargs,
+        )
+
+        for pv in partition_values:
+            pid = str(pv)
+            if pid in done:
+                out.records.append(
+                    PartitionRunRecord(partition_id=pid, status="skipped")
+                )
+                continue
+            if fail_partition is not None and pid == str(fail_partition):
+                raise RuntimeError(
+                    f"simulated kill before partition {pid!r} (test hook)"
+                )
+            t0 = time.monotonic()
+            # Catalyst partition-prunes this filter when partition_col is a
+            # physical partition column of the source (Iceberg / dir-parquet).
+            pdf = df.filter(F.col(partition_col) == F.lit(pv))
+            result = runner.validate(pdf, suite)
+            elapsed = time.monotonic() - t0
+
+            rows_scanned = 0
+            violations = 0
+            for r in result.results:
+                res = r.result or {}
+                rows_scanned = max(rows_scanned, int(res.get("element_count") or 0))
+                violations += int(res.get("unexpected_count") or 0)
+
+            self._append_evrs(run_id, pid, result)
+            self._append_manifest(
+                {
+                    "run_id": run_id,
+                    "partition_id": pid,
+                    "status": "validated",
+                    "suite_hash": shash,
+                    "rows_scanned": rows_scanned,
+                    "violations": violations,
+                    "elapsed_s": elapsed,
+                    "success": bool(result.success),
+                }
+            )
+            out.records.append(
+                PartitionRunRecord(
+                    partition_id=pid,
+                    status="validated",
+                    result=result,
+                    rows_scanned=rows_scanned,
+                    violations=violations,
+                    elapsed_s=elapsed,
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------- merge view
+    def merged_map_verdicts(self, shash_or_suite: Any) -> DataFrame:
+        """Suite-level merged counters per expectation_type from the EVR
+        store — counts add across partitions (SURVEY.md §4.2 item 5)."""
+        if self.evr_path is None:
+            raise ValueError("Checkpoint was created without evr_path")
+        evrs = self.spark.read.schema(EVR_ROW_SCHEMA).parquet(self.evr_path)
+        return (
+            evrs.groupBy("expectation_type")
+            .agg(
+                F.sum("element_count").alias("element_count"),
+                F.sum("missing_count").alias("missing_count"),
+                F.sum("unexpected_count").alias("unexpected_count"),
+                F.min(F.col("success").cast("int")).cast("boolean").alias(
+                    "all_partitions_success"
+                ),
+            )
+            .orderBy("expectation_type")
+        )

@@ -1,0 +1,18 @@
+"""Training-data pipeline operators (large-scale corpus curation).
+
+Beyond the reference's expectation catalog, these are the data-processing
+operators a 100 TB training-data pipeline needs, each expressed Spark-first:
+
+- :mod:`dedup` — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  embedding-cosine near-duplicate detection
+- :mod:`similarity` — brute-force / LSH-bucketed / IVF approximate
+  nearest-neighbor search over embedding columns
+- :mod:`textstats` — language ID, quality scoring, token counting,
+  document fingerprinting
+- :mod:`multimodal` — binary media columns: decode / resize /
+  frame-sample plumbing (Arrow ``mapInPandas``; codecs stubbed in-sandbox)
+
+All hot paths are JVM-side (built-in + higher-order functions); Python
+appears only as Arrow-batched ``mapInPandas`` where a codec is inherently
+out-of-JVM.
+"""

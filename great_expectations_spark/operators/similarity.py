@@ -1,0 +1,222 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three strategies, all pure DataFrame programs:
+
+- :func:`brute_force_topk` — exact cosine top-k; the correctness baseline.
+  Queries are broadcast (they are the small side by construction), so the
+  corpus scan is a single pass with no corpus-side shuffle; the only shuffle
+  is the per-query top-k aggregation.
+- :func:`lsh_topk` — SRP (sign-random-projection) bucketing; candidates are
+  corpus vectors sharing ≥1 of ``n_tables`` signatures with the query.
+  Recall tunable by tables × planes.
+- :func:`ivf_topk` — IVF-Flat: deterministic centroid sample, corpus
+  assigned to nearest centroid once (materialize/persist for repeated
+  query batches), queries probe the ``nprobe`` nearest centroids only —
+  the scale path: scan cost drops to nprobe/n_centroids of the corpus.
+
+Top-k extraction avoids a global sort: per-query ``min_by``-style
+aggregation of a (sim, id) struct array would still collect k·|queries|
+rows; we use a window ranked by similarity *within each query partition* —
+the shuffle is keyed by query_id (uniform, small fan-in) and
+``TakeOrderedAndProject``-equivalent pruning happens in the ranked filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from great_expectations_spark.operators.dedup import (
+    cosine_similarity,
+    hyperplane_signature,
+)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query batch against the corpus.
+
+    Returns (query_id, neighbor_id, cosine, rank). One corpus scan per
+    query *batch* (not per query) — batch your queries.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.crossJoin(q).withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _topk_per_query(scored, k)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """SRP-LSH top-k: ``n_tables`` independent signatures; a corpus vector
+    is a candidate iff it collides with the query in ≥1 table. Exact cosine
+    is computed only on candidates (recall < 1, cost ≪ brute force)."""
+
+    def signatures(df: DataFrame, idc: str, vc: str, side: str) -> DataFrame:
+        sig_structs = [
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_signature(vc, n_planes, seed + 1000 * t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            F.col(vc).alias(f"__{side}v"),
+            F.explode(F.array(*sig_structs)).alias("tk"),
+        ).select(
+            f"{side}_id", f"__{side}v", F.col("tk.table"), F.col("tk.sig")
+        )
+
+    qs = signatures(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+        ),
+        "qid",
+        "qv",
+        "query",
+    )
+    cs = signatures(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        "cid",
+        "cv",
+        "corpus",
+    )
+    cand = (
+        cs.join(F.broadcast(qs), on=["table", "sig"])
+        .select(
+            F.col("query_id"),
+            F.col("corpus_id").alias("neighbor_id"),
+            "__queryv",
+            "__corpusv",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", cosine_similarity(F.col("__queryv"), F.col("__corpusv"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _topk_per_query(scored, k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: deterministic centroid sample (every ⌈n/k⌉-th row by
+    id order — seedless, reproducible) + one nearest-centroid assignment
+    pass over the corpus.
+
+    Returns (centroids(centroid_id, centroid_vec),
+             assigned(centroid_id, id, vec)). Persist ``assigned`` (or write
+    it bucketed by centroid_id) when serving repeated query batches.
+    """
+    w = Window.orderBy(id_col)
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    centroids = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % stride == 0)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = c.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+    )
+    wbest = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "centroid_id")
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(wbest))
+        .filter(F.col("__r") == 1)
+        .select("centroid_id", id_col, vec_col)
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroids and
+    scores only the vectors assigned to them (inner join on centroid_id —
+    Catalyst broadcasts the tiny query×probe side)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", cosine_similarity(F.col("__qv"), F.col("centroid_vec"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("__csim"), "centroid_id"
+    )
+    probes = (
+        qc.withColumn("__r", F.row_number().over(wprobe))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col("__qv"), F.col(vec_col)).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _topk_per_query(scored, k)

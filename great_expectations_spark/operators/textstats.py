@@ -1,0 +1,236 @@
+"""Text-analysis operators for corpus curation — all JVM-side expressions.
+
+- :func:`token_count_ws` / :func:`token_count_bpe_ish` — token counting
+  (whitespace and a BPE-ish regex segmentation)
+- :func:`language_scores` / :func:`detect_language` — stopword-profile
+  language ID (n-gram/stopword heuristic; no external model)
+- :func:`text_quality_profile` / :func:`quality_score` — length / punct /
+  stopword-ratio quality features and a composite score
+- :func:`document_fingerprint` / :func:`kgram_fingerprints` — whole-doc
+  rolling-hash fingerprint and sampled k-gram fingerprints ("0 mod p"
+  selection; cf. winnowing, Schleimer et al. SIGMOD'03)
+
+Every function returns Column expressions or narrow projections, so quality
+filtering composes with predicate pushdown: a downstream
+``.filter(quality_score(...) > t)`` runs inside the same codegen stage as
+the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword profiles (top function words). Enough signal to
+# separate major European languages on ≥20-word docs; this is the classic
+# stopword-profile heuristic, not a trained model.
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "you", "that", "was",
+           "for", "on", "are", "with", "as", "this", "have", "from", "they"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit",
+           "auf", "für", "den", "von", "des", "dem", "sich", "aber", "auch"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "dans",
+           "que", "qui", "pour", "pas", "sur", "avec", "par", "mais", "nous"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "no", "por", "con", "para", "del", "se", "su", "como"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "non", "sono",
+           "con", "del", "della", "gli", "le", "si", "ma", "anche", "come"],
+}
+
+#: BPE-ish segmentation: word pieces, numbers, or single non-space symbols —
+#: the GPT-2-style pre-tokenizer shape expressible as a pure regex.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _contains(sw: Column):
+    """Single-arg lambda factory — a 2-arg lambda would be interpreted by
+    PySpark's higher-order-function binding as (element, index)."""
+    return lambda t: F.array_contains(sw, t)
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens (empty strings removed)."""
+    return F.filter(
+        F.split(F.lower(F.trim(_c(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def token_count_ws(text_col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def token_count_bpe_ish(text_col: str | Column) -> Column:
+    """BPE-ish token count: segments matched by :data:`BPE_ISH_PATTERN`
+    (letters-run | digits-run | single symbol) — a cheap, deterministic
+    proxy for subword tokenizer counts, fully vectorized via
+    ``regexp_count``."""
+    return F.regexp_count(_c(text_col), F.lit(BPE_ISH_PATTERN))
+
+
+def language_scores(text_col: str | Column) -> Column:
+    """Per-language stopword-hit fraction as a map<lang, double>."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    entries = []
+    for lang, words in STOPWORD_PROFILES.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, _contains(sw)))
+        entries.append(
+            (F.lit(lang), F.when(n > 0, hits / n).otherwise(F.lit(0.0)))
+        )
+    return F.map_from_arrays(
+        F.array(*[e[0] for e in entries]), F.array(*[e[1] for e in entries])
+    )
+
+
+def detect_language(
+    text_col: str | Column, min_score: float = 0.05
+) -> Column:
+    """argmax over :func:`language_scores`; ``'und'`` (undetermined) when no
+    profile clears ``min_score``."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    scored = []
+    for lang, words in STOPWORD_PROFILES.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, _contains(sw)))
+        score = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(
+        F.lit("und")
+    )
+
+
+def quality_features(text_col: str | Column) -> dict[str, Column]:
+    """The standard cheap quality signals (C4/Gopher-style heuristics)."""
+    c = _c(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    sw = F.array(
+        *[F.lit(w) for w in STOPWORD_PROFILES["en"]]
+    )
+    sw_hits = F.size(F.filter(toks, _contains(sw)))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "n_tokens_bpe_ish": token_count_bpe_ish(c),
+        "alpha_ratio": F.when(n_chars > 0, alpha_chars / n_chars).otherwise(0.0),
+        "punct_ratio": F.when(n_chars > 0, punct_chars / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tok > 0, sw_hits / n_tok).otherwise(0.0),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite [0,1] quality score: penalize too-short/too-long docs,
+    low alpha ratio, punctuation walls, stopword-free keyword soup, and
+    degenerate token lengths. Weights are heuristic but deterministic."""
+    f = quality_features(text_col)
+    len_score = F.least(
+        F.lit(1.0), f["n_tokens"] / F.lit(20.0)
+    ) * F.when(f["n_tokens"] > 10_000, F.lit(0.5)).otherwise(F.lit(1.0))
+    alpha_score = F.least(F.lit(1.0), f["alpha_ratio"] / F.lit(0.6))
+    punct_score = F.when(f["punct_ratio"] > 0.3, F.lit(0.3)).otherwise(F.lit(1.0))
+    sw_score = F.least(F.lit(1.0), f["stopword_ratio"] / F.lit(0.1))
+    tok_len_score = F.when(
+        (f["mean_token_len"] >= 2.5) & (f["mean_token_len"] <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return (
+        len_score * alpha_score * punct_score * sw_score * tok_len_score
+    ).alias("quality_score")
+
+
+def text_quality_profile(df: DataFrame, text_col: str) -> DataFrame:
+    """Append all quality feature columns + composite score + language."""
+    feats = quality_features(text_col)
+    out = df
+    for name, expr in feats.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn("quality_score", quality_score(text_col)).withColumn(
+        "detected_lang", detect_language(text_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def document_fingerprint(text_col: str | Column) -> Column:
+    """Whole-document 64-bit fingerprint of the normalized text."""
+    c = F.regexp_replace(F.lower(F.trim(_c(text_col))), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def kgram_fingerprints(
+    text_col: str | Column, k: int = 8, p: int = 4
+) -> Column:
+    """Rolling k-gram fingerprints with "0 mod p" selection: hash every
+    character k-gram, keep the ~1/p whose hash ≡ 0 (mod p). Linear-time in
+    Catalyst (one transform + one filter over the gram array — a
+    sliding-window minimum à la winnowing [Schleimer et al., SIGMOD'03]
+    would re-inline the gram array per window position under project
+    collapsing and go quadratic). Documents that select no gram fall back
+    to their single minimum hash so every non-empty doc has ≥1 print.
+    Returns a distinct array<bigint>.
+    """
+    c = F.regexp_replace(F.lower(F.trim(_c(text_col))), r"\s+", " ")
+    n_grams = F.greatest(F.length(c) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+    )
+    selected = F.array_distinct(
+        F.filter(gram_hashes, lambda h: F.pmod(h, F.lit(p)) == 0)
+    )
+    return F.when(n_grams <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.when(F.size(selected) > 0, selected).otherwise(
+            F.array(F.array_min(gram_hashes))
+        )
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    p: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """Plagiarism-style containment detection: explode k-gram
+    fingerprints, join on fingerprint, count shared prints per pair.
+    Returns (id_a, id_b, shared_fingerprints)."""
+    fps = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.explode(kgram_fingerprints(text_col, k, p)).alias("fp"),
+    )
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__bsz"))
+    fps = fps.join(
+        sizes.filter(F.col("__bsz") <= max_bucket_size).select("fp"),
+        on="fp",
+        how="left_semi",
+    )
+    a = fps.select("fp", F.col("__id").alias("id_a"))
+    b = fps.select("fp", F.col("__id").alias("id_b"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -123,9 +123,11 @@ def generate_transcripts(
         F.sequence(F.lit(0), n_words - 1),
         lambda i: F.element_at(
             F.array(*[F.lit(wd) for wd in _WORDS]),
-            (F.xxhash64(F.col("id"), i, F.lit(seed)) % len(_WORDS) + len(_WORDS))
-            % len(_WORDS)
-            + 1,
+            (
+                (F.xxhash64(F.col("id"), i, F.lit(seed)) % len(_WORDS) + len(_WORDS))
+                % len(_WORDS)
+                + 1
+            ).cast("int"),
         ),
     )
     text = F.concat_ws(" ", words_arr)

@@ -1,0 +1,112 @@
+"""Checkpoint/resume tests (SURVEY.md §7.2 M8: kill/resume pytest).
+
+Reference analogue: Checkpoint.run produces one validation result per
+batch; ours produces per-partition EVRs + a manifest, and a second run
+must skip everything already validated (the resumability contract in
+north_rule).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark import ExpectationSuite
+from great_expectations_spark.checkpoint import (
+    Checkpoint,
+    merge_map_counts,
+    suite_hash,
+)
+
+
+@pytest.fixture()
+def suite():
+    s = ExpectationSuite("ckpt-suite")
+    s.add("expect_column_values_to_not_be_null", column="text", mostly=0.5)
+    s.add("expect_column_values_to_be_between", column="turn_idx",
+          min_value=0, max_value=100)
+    return s
+
+
+@pytest.fixture()
+def tdf(spark):
+    rows = []
+    for part in ("2025-01-01", "2025-01-02", "2025-01-03"):
+        for i in range(10):
+            rows.append((f"c-{part}-{i % 3}", i, "user",
+                         None if i == 9 else f"msg {i}", part))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, day string"
+    )
+
+
+def test_full_run_then_resume_skips_all(spark, tmp_path, suite, tdf):
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "manifest"),
+                    evr_path=str(tmp_path / "evrs"))
+    r1 = ck.run(tdf, suite, run_id="r1", partition_col="day")
+    assert len(r1.validated) == 3 and not r1.skipped
+    assert r1.success
+
+    r2 = ck.run(tdf, suite, run_id="r2", partition_col="day")
+    assert len(r2.skipped) == 3 and not r2.validated
+
+
+def test_kill_and_resume(spark, tmp_path, suite, tdf):
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "manifest"))
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        ck.run(tdf, suite, run_id="r1", partition_col="day",
+               fail_partition="2025-01-03")
+    # two partitions made it into the manifest before the kill
+    assert len(ck.completed_partitions(suite_hash(suite))) == 2
+
+    r2 = ck.run(tdf, suite, run_id="r2", partition_col="day")
+    assert len(r2.skipped) == 2
+    assert [r.partition_id for r in r2.validated] == ["2025-01-03"]
+
+
+def test_suite_change_invalidates_manifest(spark, tmp_path, suite, tdf):
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "manifest"))
+    ck.run(tdf, suite, run_id="r1", partition_col="day")
+
+    other = ExpectationSuite("ckpt-suite-2")
+    other.add("expect_column_values_to_not_be_null", column="conv_id")
+    assert suite_hash(other) != suite_hash(suite)
+    r2 = ck.run(tdf, other, run_id="r2", partition_col="day")
+    assert len(r2.validated) == 3  # different suite → nothing skipped
+
+
+def test_manifest_lineage_fields(spark, tmp_path, suite, tdf):
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "manifest"))
+    ck.run(tdf, suite, run_id="r1", partition_col="day")
+    m = ck.read_manifest().collect()
+    assert len(m) == 3
+    for row in m:
+        assert row["run_id"] == "r1"
+        assert row["status"] == "validated"
+        assert row["rows_scanned"] == 10
+        assert row["elapsed_s"] > 0
+        assert row["violations"] >= 1  # one null-text row per partition
+
+
+def test_merged_verdicts_equal_whole_table_counts(spark, tmp_path, suite, tdf):
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "manifest"),
+                    evr_path=str(tmp_path / "evrs"))
+    ck.run(tdf, suite, run_id="r1", partition_col="day")
+    merged = {
+        r["expectation_type"]: r for r in ck.merged_map_verdicts(suite).collect()
+    }
+    nn = merged["expect_column_values_to_not_be_null"]
+    assert nn["element_count"] == 30
+    assert nn["unexpected_count"] == 3  # one null per partition
+
+
+def test_merge_map_counts_reapplies_mostly():
+    parts = [
+        {"element_count": 100, "missing_count": 0, "unexpected_count": 4},
+        {"element_count": 100, "missing_count": 0, "unexpected_count": 0},
+    ]
+    merged = merge_map_counts(parts, mostly=0.97)
+    assert merged["unexpected_count"] == 4
+    # 196/200 = 0.98 >= 0.97 → success even though partition 1 alone was 0.96
+    assert merged["success"] is True
+    assert merge_map_counts(parts, mostly=0.99)["success"] is False

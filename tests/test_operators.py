@@ -1,0 +1,405 @@
+"""Tests for training-data pipeline operators (operators/).
+
+Strategy mirrors the reference's golden-corpus style (SURVEY.md §5): tiny
+inline tables with *known* duplicate/similarity structure, assertions on
+exact outputs — plus oracle cross-checks computed in plain Python for the
+similarity math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from great_expectations_spark.operators import (
+    dedup as D,
+    multimodal as M,
+    similarity as S,
+    textstats as T,
+)
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0/1: identical after normalization (case/whitespace)
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "the  quick   brown fox jumps over the lazy DOG"),
+        # 2: near-dup of 0 (one word changed)
+        (2, "The quick brown fox leaps over the lazy dog"),
+        # 3: unrelated
+        (3, "PySpark expression pipelines compile to whole stage codegen"),
+        # 4: another unrelated
+        (4, "Entirely different content about databases and storage engines"),
+        # 5: exact copy of 3
+        (5, "PySpark expression pipelines compile to whole stage codegen"),
+        # 6: null text
+        (6, None),
+        # 7: empty text
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ~same direction as 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [0.0, 0.99, 0.1]),     # ~same direction as 2
+        (4, [-1.0, 0.0, 0.0]),     # opposite of 0
+        (5, [0.577, 0.577, 0.577]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+class TestExactDedup:
+    def test_duplicate_groups(self, docs):
+        groups = D.exact_duplicate_groups(docs, "text").collect()
+        # {0,1} normalize-equal; {3,5} byte-equal → two groups of 2
+        assert sorted(g["dup_count"] for g in groups) == [2, 2]
+
+    def test_dedup_keeps_min_id_and_nulls(self, docs):
+        out = D.exact_dedup(docs, "text", "doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        # dropped: 1 (dup of 0), 5 (dup of 3); kept: null-text row 6
+        assert ids == [0, 2, 3, 4, 6, 7]
+
+    def test_no_normalize(self, docs):
+        out = D.exact_dedup(docs, "text", "doc_id", normalize=False)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        # without normalization only {3,5} are equal
+        assert ids == [0, 1, 2, 3, 4, 6, 7]
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH
+# ---------------------------------------------------------------------------
+
+class TestMinHash:
+    def test_identical_docs_full_signature_match(self, docs):
+        cand = D.minhash_lsh_candidates(
+            docs, "text", "doc_id", n_hashes=32, bands=8, shingle_size=4,
+            min_jaccard=None,
+        ).collect()
+        by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand}
+        assert by_pair[(0, 1)] == 1.0    # normalize-identical
+        assert by_pair[(3, 5)] == 1.0    # byte-identical
+        # near-dup 0↔2 should be found with a high (not 1.0) estimate
+        assert (0, 2) in by_pair and 0.3 < by_pair[(0, 2)] < 1.0
+
+    def test_unrelated_not_candidates(self, docs):
+        cand = D.minhash_lsh_candidates(
+            docs, "text", "doc_id", n_hashes=32, bands=8, shingle_size=4,
+            min_jaccard=0.8,
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in cand}
+        assert (0, 4) not in pairs and (3, 4) not in pairs
+
+    def test_minhash_dedup_end_to_end(self, docs):
+        out = D.minhash_dedup(
+            docs, "text", "doc_id", n_hashes=32, bands=8, shingle_size=4,
+            min_jaccard=0.9,
+        )
+        ids = sorted(r["doc_id"] for r in out.collect())
+        # 1 collapses into 0; 5 collapses into 3; near-dup 2 survives at 0.9
+        assert 0 in ids and 3 in ids
+        assert 1 not in ids and 5 not in ids
+        assert 2 in ids and 4 in ids
+
+    def test_signature_shape(self, docs):
+        sigs = D.minhash_signatures(docs, "text", "doc_id", n_hashes=16,
+                                    shingle_size=4)
+        rows = sigs.collect()
+        # null + empty text rows excluded
+        assert len(rows) == 6
+        assert all(len(r["signature"]) == 16 for r in rows)
+
+    def test_word_mode(self, docs):
+        cand = D.minhash_lsh_candidates(
+            docs, "text", "doc_id", n_hashes=32, bands=8, shingle_size=2,
+            mode="word", min_jaccard=None,
+        ).collect()
+        by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand}
+        assert by_pair[(0, 1)] == 1.0
+
+
+class TestNgramJaccard:
+    def test_exact_verification(self, spark, docs):
+        pairs = spark.createDataFrame(
+            [(0, 1, 1.0), (0, 2, 0.6), (0, 4, 0.1)],
+            "id_a long, id_b long, est_jaccard double",
+        )
+        out = D.verify_pairs_ngram_jaccard(
+            pairs, docs, "text", "doc_id", n=3, mode="word", min_jaccard=0.3
+        ).collect()
+        kept = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+        assert kept[(0, 1)] == 1.0
+        # one word changed mid-sentence → 4 shared of 10 total word-3-grams
+        assert kept[(0, 2)] == pytest.approx(0.4)
+        assert (0, 4) not in kept
+
+    def test_jaccard_matches_python_oracle(self, spark):
+        a = "a b c d e f g"
+        b = "a b c d x y z"
+        def grams(s, n=3):
+            toks = s.split()
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        expected = len(grams(a) & grams(b)) / len(grams(a) | grams(b))
+        df = spark.createDataFrame([(a, b)], "ta string, tb string")
+        got = df.select(
+            D.ngram_jaccard(F.col("ta"), F.col("tb"), n=3, mode="word").alias("j")
+        ).first()["j"]
+        assert got == pytest.approx(expected)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class TestSimHash:
+    def test_identical_zero_hamming(self, docs):
+        pairs = D.simhash_candidates(
+            docs, "text", "doc_id", max_hamming=0
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (3, 5) in got  # byte-identical
+        assert (0, 1) in got  # token-identical after lowering
+
+    def test_near_dup_low_hamming(self, docs):
+        pairs = D.simhash_candidates(
+            docs, "text", "doc_id", max_hamming=16
+        ).collect()
+        by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert by_pair.get((0, 2), 99) <= 16  # one-word change
+        # unrelated docs should NOT be within 16 bits
+        assert (0, 4) not in by_pair
+
+    def test_fingerprint_deterministic(self, spark):
+        df = spark.createDataFrame([("hello world foo bar",)], "t string")
+        a = df.select(D.simhash("t").alias("s")).first()["s"]
+        b = df.select(D.simhash("t").alias("s")).first()["s"]
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup + cosine
+# ---------------------------------------------------------------------------
+
+class TestEmbeddingDedup:
+    def test_cosine_matches_math(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+            "a array<double>, b array<double>",
+        )
+        got = df.select(
+            D.cosine_similarity(F.col("a"), F.col("b")).alias("c")
+        ).first()["c"]
+        expected = (4 + 10 + 18) / (math.sqrt(14) * math.sqrt(77))
+        assert got == pytest.approx(expected)
+
+    def test_exact_pairs(self, vecs):
+        out = D.embedding_near_duplicates(
+            vecs, "vec_id", "embedding", min_cosine=0.95, exact=True
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in out}
+        assert pairs == {(0, 1), (2, 3)}
+
+    def test_lsh_finds_same_pairs(self, vecs):
+        out = D.embedding_near_duplicates(
+            vecs, "vec_id", "embedding", min_cosine=0.95, n_planes=8
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in out}
+        # LSH recall: near-identical vectors collide on all planes w.h.p.
+        assert (0, 1) in pairs
+        # and no false accepts (cosine verified exactly)
+        assert all(p in {(0, 1), (2, 3)} for p in pairs)
+
+
+class TestClusters:
+    def test_transitive_closure(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (5, 6, 1.0)],
+            "id_a long, id_b long, est_jaccard double",
+        )
+        labels = {
+            r["id"]: r["cluster_id"]
+            for r in D.duplicate_clusters(pairs).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _queries(vecs):
+    return vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+class TestSimilarity:
+    def test_brute_force_topk_exact(self, vecs):
+        out = S.brute_force_topk(
+            _queries(vecs.filter("vec_id = 0")), vecs, "vec_id", "embedding", k=2
+        ).collect()
+        assert [r["neighbor_id"] for r in out] == [1, 5]
+        assert out[0]["rank"] == 1 and out[1]["rank"] == 2
+        assert out[0]["cosine"] > out[1]["cosine"]
+
+    def test_topk_excludes_self(self, vecs):
+        out = S.brute_force_topk(_queries(vecs), vecs, "vec_id", "embedding", k=3)
+        assert out.filter("query_id = neighbor_id").count() == 0
+
+    def test_lsh_topk_recall_on_near_identical(self, vecs):
+        out = S.lsh_topk(
+            _queries(vecs.filter("vec_id = 0")), vecs, "vec_id", "embedding",
+            k=2, n_planes=6, n_tables=6,
+        ).collect()
+        assert out and out[0]["neighbor_id"] == 1
+
+    def test_ivf_topk(self, vecs):
+        cent, assigned = S.build_ivf_index(vecs, "vec_id", "embedding",
+                                           n_centroids=3)
+        assert cent.count() == 3
+        # every corpus vector assigned to exactly one centroid
+        assert assigned.count() == vecs.count()
+        out = S.ivf_topk(
+            _queries(vecs.filter("vec_id = 0")), cent, assigned,
+            "vec_id", "embedding", k=2, nprobe=3,
+        ).collect()
+        # nprobe == n_centroids → exhaustive → must equal brute force
+        assert [r["neighbor_id"] for r in out] == [1, 5]
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [("Hello world, it's 2026!",)], "t string"
+        )
+        row = df.select(
+            T.token_count_ws("t").alias("ws"),
+            T.token_count_bpe_ish("t").alias("bpe"),
+        ).first()
+        assert row["ws"] == 4
+        # Hello|world|,|it|'|s|2026|! → 8 BPE-ish segments
+        assert row["bpe"] == 8
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and it was happy with this"),
+                (2, "der hund ist nicht auf der straße und das ist gut"),
+                (3, "le chat est dans la maison et il est pour nous"),
+                (4, "xyzzy qwerty asdf"),
+            ],
+            "id long, t string",
+        )
+        got = {
+            r["id"]: r["lang"]
+            for r in df.select("id", T.detect_language("t").alias("lang")).collect()
+        }
+        assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+        assert got[4] == "und"
+
+    def test_quality_score_ordering(self, spark):
+        good = ("This is a well formed paragraph of english text that has "
+                "reasonable length and the usual function words in it for "
+                "a quality check to pass with ease and it was good")
+        bad = "@@@@ ???? !!!! #### %%%%"
+        df = spark.createDataFrame([(1, good), (2, bad)], "id long, t string")
+        got = {
+            r["id"]: r["q"]
+            for r in df.select("id", T.quality_score("t").alias("q")).collect()
+        }
+        assert got[1] > 0.8
+        assert got[2] < 0.2
+
+    def test_quality_profile_schema(self, docs):
+        prof = T.text_quality_profile(docs.filter("text is not null"), "text")
+        for c in ("n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+                  "stopword_ratio", "mean_token_len", "quality_score",
+                  "detected_lang"):
+            assert c in prof.columns
+
+    def test_fingerprints_shared_for_identical(self, spark):
+        df = spark.createDataFrame(
+            [(1, "some shared sentence appears here verbatim today"),
+             (2, "some shared sentence appears here verbatim today"),
+             (3, "completely different words live in this one now")],
+            "doc_id long, text string",
+        )
+        pairs = T.fingerprint_overlap_pairs(df, "text", "doc_id", min_shared=1)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got
+
+    def test_document_fingerprint_normalizes(self, spark):
+        df = spark.createDataFrame(
+            [("Hello  World", "hello world")], "a string, b string"
+        )
+        row = df.select(
+            T.document_fingerprint("a").alias("fa"),
+            T.document_fingerprint("b").alias("fb"),
+        ).first()
+        assert row["fa"] == row["fb"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+class TestMultimodal:
+    def test_decode_features_deterministic(self, spark):
+        media = M.synthesize_media_table(spark, 16)
+        f1 = {r["media_id"]: r["features"]
+              for r in M.decode_image_features(media, dim=8).collect()}
+        f2 = {r["media_id"]: r["features"]
+              for r in M.decode_image_features(media, dim=8).collect()}
+        assert f1 == f2
+        assert all(len(v) == 8 for v in f1.values())
+        # unit norm
+        n = math.sqrt(sum(x * x for x in f1[0]))
+        assert n == pytest.approx(1.0, abs=1e-5)
+
+    def test_real_codec_raises(self, spark):
+        media = M.synthesize_media_table(spark, 2)
+        with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+            M.decode_image_features(media, codec="real").collect()
+
+    def test_resize_shape(self, spark):
+        media = M.synthesize_media_table(spark, 4)
+        out = M.resize_images(media, 10, 5).collect()
+        assert all(len(r["media"]) == 10 * 5 * 3 for r in out)
+        assert all(r["width"] == 10 and r["height"] == 5 for r in out)
+
+    def test_frame_fanout(self, spark):
+        media = M.synthesize_media_table(spark, 3)
+        out = M.sample_frames(media, 5)
+        assert out.count() == 15
+        idx = out.groupBy("media_id").agg(
+            F.collect_set("frame_idx").alias("s")
+        ).collect()
+        assert all(sorted(r["s"]) == [0, 1, 2, 3, 4] for r in idx)
+
+    def test_media_schema(self, spark):
+        media = M.synthesize_media_table(spark, 2)
+        got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
+        want = [(f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA.fields]
+        assert got == want
