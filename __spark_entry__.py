@@ -297,6 +297,41 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count(F.lit(1)).cast("long").alias("simhash_pairs"))
 
 
+def q_split_mod_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_on_mod_integer batch slice — row count of residue class 3 of 8
+    (sources/splitters.py; SURVEY.md §2.2 splitters row)."""
+    from great_expectations_spark.sources import splitters
+
+    orders = _load(spark, sf_dir, "orders")
+    part = splitters.split_on_mod_integer(orders, "o_orderkey", 8, {"o_orderkey": 3})
+    return part.agg(F.count(F.lit(1)).cast("long").alias("batch_rows"))
+
+
+def q_split_year_month_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part split discovery — per-(year,month) batch sizes over events.ts
+    (sources/splitters.py split_on_year_and_month)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.year("ts").cast("long").alias("yr"),
+            F.month("ts").cast("long").alias("mth"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("batch_rows"))
+        .orderBy("yr", "mth")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_using_hash — md5-suffix content-stable sample (sources/
+    samplers.py; native F.md5, bit-identical to the reference's hashlib)."""
+    from great_expectations_spark.sources import samplers
+
+    ev = _load(spark, sf_dir, "events")
+    s = samplers.sample_using_hash(ev, "event_id", hash_digits=1, hash_value="a")
+    return s.agg(F.count(F.lit(1)).cast("long").alias("sample_rows"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_not_null": q_map_not_null,
@@ -318,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top1": q_ann_top1,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "split_mod_batch": q_split_mod_batch,
+        "split_year_month_counts": q_split_year_month_counts,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -418,6 +456,20 @@ def oracle_sql() -> dict[str, str]:
             " b.vec_id ASC) AS rnk "
             "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id "
             "WHERE a.vec_id < 8) WHERE rnk = 1 ORDER BY query_id"
+        ),
+        "split_mod_batch": (
+            "SELECT CAST(count(*) AS BIGINT) AS batch_rows FROM orders "
+            "WHERE o_orderkey % 8 = 3"
+        ),
+        "split_year_month_counts": (
+            "SELECT CAST(year(ts) AS BIGINT) AS yr, "
+            "CAST(month(ts) AS BIGINT) AS mth, "
+            "CAST(count(*) AS BIGINT) AS batch_rows FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY yr, mth"
+        ),
+        "hash_sample": (
+            "SELECT CAST(count(*) AS BIGINT) AS sample_rows FROM events "
+            "WHERE md5(CAST(event_id AS VARCHAR)) LIKE '%a'"
         ),
         # minhash_pairs / simhash_pairs: xxhash64-based signatures are not
         # reproducible in DuckDB SQL → rows-only driver check (by design).

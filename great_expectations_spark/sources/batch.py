@@ -1,0 +1,90 @@
+"""BatchSpec → DataFrame readers.
+
+Reference: ``SparkDFExecutionEngine.get_batch_data_and_markers``
+(great_expectations/execution_engine/sparkdf_execution_engine.py ≈L300–420,
+unverified — SURVEY.md §0) dispatches on the batch-spec class:
+RuntimeDataBatchSpec (in-memory df), PathBatchSpec (csv/json/parquet/orc/
+delta via ``reader_method`` + ``reader_options``), and table specs.
+
+Ours is one frozen dataclass + one function. The splitter / sampler are
+applied AFTER the read as plain DataFrame filters so Catalyst can push the
+predicates into the scan (partition pruning on partitioned parquet /
+Iceberg; PushedFilters on row groups).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+# reader_method → SparkSession.read accessor. Delta/Iceberg need jars the
+# sandbox lacks; "table" covers both once the catalog is configured
+# (spark.read.table("cat.db.transcripts") — SURVEY.md §2.1 ORC/Delta row).
+_PATH_READERS = ("csv", "json", "parquet", "orc", "text")
+
+
+@dataclass(frozen=True)
+class BatchSpec:
+    """How to obtain one batch.
+
+    Exactly one of ``dataframe`` / ``path`` / ``table`` must be set.
+
+    splitter / sampler: names + kwargs resolved against
+    :mod:`great_expectations_spark.sources.splitters` /
+    :mod:`…samplers` — e.g. ``splitter_method="split_on_year_and_month"``,
+    ``splitter_kwargs={"column": "ts", "batch_identifiers":
+    {"year": 2025, "month": 6}}``.
+    """
+
+    dataframe: Optional[DataFrame] = None
+    path: Optional[str] = None
+    reader_method: str = "parquet"
+    reader_options: dict[str, Any] = field(default_factory=dict)
+    table: Optional[str] = None
+    splitter_method: Optional[str] = None
+    splitter_kwargs: dict[str, Any] = field(default_factory=dict)
+    sampling_method: Optional[str] = None
+    sampling_kwargs: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        set_count = sum(x is not None for x in (self.dataframe, self.path, self.table))
+        if set_count != 1:
+            raise ValueError(
+                "BatchSpec needs exactly one of dataframe / path / table"
+            )
+        if self.path is not None and self.reader_method not in _PATH_READERS:
+            raise ValueError(
+                f"reader_method {self.reader_method!r} not in {_PATH_READERS}"
+            )
+
+
+def _resolve(module: Any, prefix: str, name: str) -> Callable[..., DataFrame]:
+    fn = getattr(module, name, None) or getattr(module, f"{prefix}{name}", None)
+    if fn is None:
+        raise ValueError(f"unknown method {name!r} in {module.__name__}")
+    return fn
+
+
+def read_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
+    """Materialize the batch a spec describes (lazily — no action runs)."""
+    if spec.dataframe is not None:
+        df = spec.dataframe
+    elif spec.table is not None:
+        df = spark.read.table(spec.table)
+    else:
+        reader = spark.read.options(**spec.reader_options)
+        df = getattr(reader, spec.reader_method)(spec.path)
+
+    if spec.splitter_method:
+        from great_expectations_spark.sources import splitters as S
+
+        df = _resolve(S, "split_on_", spec.splitter_method)(df, **spec.splitter_kwargs)
+    if spec.sampling_method:
+        from great_expectations_spark.sources import samplers as P
+
+        df = _resolve(P, "sample_using_", spec.sampling_method)(
+            df, **spec.sampling_kwargs
+        )
+    return df

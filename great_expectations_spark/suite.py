@@ -81,6 +81,7 @@ class ExpectationConfiguration:
             "expectation_type": self.expectation_type,
             "kwargs": self.kwargs,
             "meta": self.meta,
+            "id": self.id,
         }
 
     @classmethod
