@@ -236,6 +236,12 @@ def main() -> None:
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
     }
+    # BENCH_QUERIES=a,b,c restricts the run (scaling harness runs only the
+    # headline suite at two core counts)
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        wanted = {q.strip() for q in only.split(",")}
+        queries = {k: v for k, v in queries.items() if k in wanted}
 
     timings: dict[str, float] = {}
     extras: dict[str, dict] = {}

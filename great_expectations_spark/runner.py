@@ -14,8 +14,16 @@ jobs per domain group:
       ``(index…, expectation, observed_value)`` to the sink — executor-side
       write, never collected to the driver (SURVEY.md §4.3)
 
-The input DataFrame is persisted across passes only when a group genuinely
-needs >1 pass (reference: ``SparkDFExecutionEngine(persist=True)``).
+Persistence: the reference defaults to ``SparkDFExecutionEngine(
+persist=True)`` — caching the batch across metric waves. We default to
+``persist=False``: on columnar sources every pass re-scans with Catalyst
+column pruning (a 2-column pass reads 2 columns), whereas a full-width
+MEMORY_AND_DISK cache materializes every column row-wise and each
+subsequent pass pays the whole row back (measured 10× slower than pruned
+parquet re-scans on a 4M-row transcripts table — and at 10^12 rows a
+full-table cache is impossible regardless). Set ``persist=True`` only when
+the input's lineage is expensive to recompute AND narrow (e.g. the output
+of a join you can't re-run); we then cache it as-is.
 """
 
 from __future__ import annotations
@@ -84,7 +92,7 @@ class SuiteRunner:
         unexpected_index_column_names: list[str] | None = None,
         violations_path: str | None = None,
         catch_exceptions: bool = True,
-        persist: bool = True,
+        persist: bool = False,
     ) -> None:
         self.spark = spark
         self.tables = tables or {}
@@ -388,9 +396,15 @@ class SuiteRunner:
                         for r in rows
                     ]
                 if rf.get("include_unexpected_rows"):
+                    # flag-project first: window conditions can't sit in WHERE
+                    full = gdf.withColumn("__unexpected", cond.unexpected)
                     unexpected_rows = [
-                        {k: _row_value(v) for k, v in r.asDict().items()}
-                        for r in gdf.filter(cond.unexpected).collect()
+                        {
+                            k: _row_value(v)
+                            for k, v in r.asDict().items()
+                            if k != "__unexpected"
+                        }
+                        for r in full.filter(F.col("__unexpected")).collect()
                     ]
 
         result = format_map_result(
@@ -411,13 +425,20 @@ class SuiteRunner:
         )
 
     def _map_violations(self, cm: CompiledMap, cond, gdf: DataFrame) -> DataFrame:
+        # project the condition BEFORE filtering — window-backed conditions
+        # (increasing/decreasing/unique-window) are illegal in a WHERE clause
         index_cols = self._effective_index_cols(gdf)
+        flags = gdf.select(
+            *[F.col(c) for c in index_cols],
+            _observed_str(cond).alias("observed_value"),
+            cond.unexpected.alias("__unexpected"),
+        )
         return (
-            gdf.filter(cond.unexpected)
+            flags.filter(F.col("__unexpected"))
             .select(
                 *[F.col(c) for c in index_cols],
                 F.lit(cm.cfg.expectation_type).alias("expectation"),
-                _observed_str(cond).alias("observed_value"),
+                F.col("observed_value"),
             )
         )
 

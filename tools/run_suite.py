@@ -1,0 +1,117 @@
+"""Cluster entrypoint — the production path the north_rule describes.
+
+Run a full expectation-suite validation over a partitioned transcripts table,
+resumable from the checkpoint manifest, via ``spark-submit --py-files``:
+
+    spark-submit --py-files dist/great_expectations_spark.zip \
+        tools/run_suite.py --table <path|name> --suite suites/x.json \
+        --manifest <dir> [--evr <dir>] [--violations <dir>] \
+        [--partition-col conv_bucket] [--dim tools=<path>] [--run-id r1]
+
+No ``master`` is set here — the cluster manager supplies it; locally
+``spark-submit --master 'local[8]'`` works identically. Re-submitting the
+same command after a failure resumes: partitions already recorded as
+validated in the manifest for the same suite hash are skipped.
+
+Exit code 0 iff every validated partition passed the suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--table", required=True,
+                   help="parquet dir/path, or catalog table name (use --format table)")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "table", "orc", "csv", "json"])
+    p.add_argument("--suite", required=True, help="suite JSON file")
+    p.add_argument("--manifest", required=True, help="manifest parquet dir")
+    p.add_argument("--evr", default=None, help="EVR rows parquet dir")
+    p.add_argument("--violations", default=None, help="violations parquet dir")
+    p.add_argument("--partition-col", default=None,
+                   help="run per-partition + resumable when set; whole-table otherwise")
+    p.add_argument("--dim", action="append", default=[],
+                   help="name=path of a dimension table (repeatable)")
+    p.add_argument("--derive", action="append", default=[],
+                   help="col=SQL-expr derived column, e.g. "
+                        "__text_len=length(text) (repeatable)")
+    p.add_argument("--index-cols", default="conv_id,turn_idx",
+                   help="comma-separated unexpected-index columns")
+    p.add_argument("--run-id", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str]) -> int:
+    from great_expectations_spark import ExpectationSuite, SuiteRunner
+    from great_expectations_spark.checkpoint import Checkpoint
+    from great_expectations_spark.skew import ENGINE_CONF
+
+    args = parse_args(argv)
+    b = SparkSession.builder.appName("gx-spark-run-suite")
+    for k, v in ENGINE_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+
+    if args.format == "table":
+        df = spark.read.table(args.table)
+    else:
+        df = getattr(spark.read, args.format)(args.table)
+
+    from pyspark.sql import functions as F
+
+    for spec in args.derive:
+        name, _, expr = spec.partition("=")
+        df = df.withColumn(name, F.expr(expr))
+
+    with open(args.suite) as f:
+        suite = ExpectationSuite.from_json(f.read())
+
+    tables = {}
+    for spec in args.dim:
+        name, _, path = spec.partition("=")
+        tables[name] = spark.read.parquet(path)
+
+    index_cols = [c for c in args.index_cols.split(",") if c]
+    run_id = args.run_id or f"run-{uuid.uuid4().hex[:12]}"
+
+    if args.partition_col:
+        ckpt = Checkpoint(
+            spark,
+            manifest_path=args.manifest,
+            evr_path=args.evr,
+            violations_path=args.violations,
+            tables=tables,
+            unexpected_index_column_names=index_cols,
+        )
+        res = ckpt.run(df, suite, run_id=run_id, partition_col=args.partition_col)
+        n_ok = sum(1 for r in res.validated if r.result and r.result.success)
+        print(json.dumps({
+            "run_id": run_id,
+            "partitions_validated": len(res.validated),
+            "partitions_skipped": len(res.skipped),
+            "partitions_passed": n_ok,
+            "success": res.success,
+        }))
+        return 0 if res.success else 1
+
+    runner = SuiteRunner(
+        spark, tables=tables,
+        unexpected_index_column_names=index_cols,
+        violations_path=args.violations,
+    )
+    result = runner.validate(df, suite)
+    print(json.dumps({"run_id": run_id, "statistics": result.statistics,
+                      "success": result.success}))
+    return 0 if result.success else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
