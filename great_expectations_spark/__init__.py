@@ -34,8 +34,10 @@ from great_expectations_spark.result import (
     parse_result_format,
 )
 from great_expectations_spark.runner import SuiteRunner, validate
+from great_expectations_spark.profiler import profile_suite
 
 __all__ = [
+    "profile_suite",
     "ExpectationConfiguration",
     "ExpectationSuite",
     "ExpectationValidationResult",

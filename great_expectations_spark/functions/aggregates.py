@@ -186,30 +186,34 @@ def values_between_count(
 
 def histogram(column: str, bins: list[float]) -> AggMetric:
     """column.histogram — reference Spark uses ``pyspark.ml.feature.Bucketizer``
-    + groupBy; ours bundles one ``sum(when(...))`` per bucket into the shared
-    agg pass (no extra shuffle, no ML dependency). Convention matches
-    Bucketizer: buckets are [b_i, b_{i+1}) with the LAST bucket closed
-    [b_{n-1}, b_n]. ±inf edges supported."""
-    c = _dcol(column)
-    exprs: dict[str, Column] = {}
-    aliases: list[str] = []
+    + groupBy; ours bundles the whole histogram into the shared agg pass as
+    ONE array-of-sums expression (no extra shuffle, no ML dependency).
+    Convention matches Bucketizer: buckets are [b_i, b_{i+1}) with the LAST
+    bucket closed [b_{n-1}, b_n]. ±inf edges supported.
+
+    Built as a single ``F.expr`` SQL string: a per-bucket ``F.when`` chain
+    costs ~10 Py4J round-trips per bucket (measured ~0.5s of serial driver
+    time for 20 buckets); one parsed SQL expression costs one round-trip
+    regardless of bucket count."""
+    import math
+
+    col_sql = f"cast(`{column}` as double)"
+    notnull = f"`{column}` is not null"
     n = len(bins) - 1
+    parts: list[str] = []
     for i in range(n):
         lo, hi = float(bins[i]), float(bins[i + 1])
-        cond = F.lit(True)
-        import math
-
+        conds = [notnull]
         if not math.isinf(lo):
-            cond = cond & (c >= lo)
+            conds.append(f"{col_sql} >= {lo!r}")
         if not math.isinf(hi):
-            cond = cond & ((c <= hi) if i == n - 1 else (c < hi))
-        elif i < n - 1:
-            cond = cond & (c < hi)  # unreachable for +inf, kept for clarity
-        alias = safe_alias("hist", column, i, lo, hi)
-        aliases.append(alias)
-        exprs[alias] = F.sum(F.when(F.col(column).isNotNull() & cond, 1).otherwise(0))
+            op = "<=" if i == n - 1 else "<"
+            conds.append(f"{col_sql} {op} {hi!r}")
+        parts.append(f"sum(case when {' and '.join(conds)} then 1 else 0 end)")
+    alias = safe_alias("hist", column, n, bins[0], bins[-1])
+    expr = F.expr("array(" + ", ".join(parts) + ")")
 
     def fin(v: dict[str, Any]) -> list[int]:
-        return [int(v[a] or 0) for a in aliases]
+        return [int(x or 0) for x in v[alias]]
 
-    return AggMetric(exprs, fin)
+    return AggMetric({alias: expr}, fin)

@@ -102,8 +102,37 @@ class SuitePlan:
         return sum(g.n_passes for g in self.groups)
 
 
+# (app_id, suite_hash) → SuitePlan. Column expressions are JVM-session-bound
+# objects, so the cache key includes the application id; a checkpoint run
+# validating 10k partitions of one suite compiles it once, not 10k times.
+_PLAN_CACHE: dict[tuple[str, str], SuitePlan] = {}
+_PLAN_CACHE_MAX = 64
+
+
 def plan_suite(suite: ExpectationSuite) -> SuitePlan:
-    """Compile + group the suite. Pure Python — no Spark session needed."""
+    """Compile + group the suite (cached per active Spark session)."""
+    app_id = None
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            app_id = active.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        app_id = None
+
+    key = (app_id, suite.suite_hash) if app_id else None
+    if key is not None and key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    plan = _plan_suite_uncached(suite)
+    if key is not None:
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _plan_suite_uncached(suite: ExpectationSuite) -> SuitePlan:
     groups: dict[Any, DomainGroup] = {}
     metas: list[CompiledMeta] = []
     relationals: list[CompiledRelational] = []

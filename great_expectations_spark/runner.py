@@ -47,7 +47,7 @@ from great_expectations_spark.result import (
     calc_map_success,
     format_map_result,
 )
-from great_expectations_spark.skew import salted_value_counts
+from great_expectations_spark.skew import value_counts as skew_value_counts
 from great_expectations_spark.suite import ExpectationSuite
 
 
@@ -93,6 +93,7 @@ class SuiteRunner:
         violations_path: str | None = None,
         catch_exceptions: bool = True,
         persist: bool = False,
+        max_concurrent_jobs: int = 4,
     ) -> None:
         self.spark = spark
         self.tables = tables or {}
@@ -100,6 +101,10 @@ class SuiteRunner:
         self.violations_path = violations_path
         self.catch_exceptions = catch_exceptions
         self.persist = persist
+        # independent validation passes are submitted as concurrent Spark
+        # jobs (thread pool → FIFO scheduler interleaves stages); 1 restores
+        # strictly sequential execution
+        self.max_concurrent_jobs = max(1, int(max_concurrent_jobs))
 
     # ------------------------------------------------------------------ API
     def validate(
@@ -123,40 +128,79 @@ class SuiteRunner:
                 },
             )
 
-        for group in plan.groups:
-            gdf = df.filter(F.expr(group.row_condition)) if group.row_condition else df
-            persisted = False
-            if self.persist and group.n_passes > 1:
-                gdf = gdf.persist(StorageLevel.MEMORY_AND_DISK)
-                persisted = True
-            try:
-                try:
-                    self._run_group(group, gdf, results_by_id, violation_frames)
-                except Exception:
-                    if not self.catch_exceptions:
-                        raise
-                    # One bad expectation (e.g. unknown column) poisons the
-                    # shared bundle. Degrade to per-expectation mini-groups so
-                    # healthy expectations still validate and the broken one
-                    # gets its own EVR.exception_info (reference
-                    # catch_exceptions fault-isolation semantics).
-                    self._run_group_isolated(group, gdf, results_by_id, violation_frames)
-            finally:
-                if persisted:
-                    gdf.unpersist()
+        # relational / query expectations are independent of the domain
+        # groups — launch them concurrently so their joins interleave with
+        # the groups' aggregation stages (same rationale as _run_group's
+        # inner pool)
+        from concurrent.futures import ThreadPoolExecutor
 
-        for cm in plan.metas:
-            results_by_id[cm.cfg.id] = self._guard(
-                cm.cfg, lambda cm=cm: self._run_meta(cm, df)
-            )
-        for cr in plan.relationals:
-            results_by_id[cr.cfg.id] = self._guard(
-                cr.cfg, lambda cr=cr: self._run_relational(cr, df, violation_frames)
-            )
-        for cq in plan.queries:
-            results_by_id[cq.cfg.id] = self._guard(
-                cq.cfg, lambda cq=cq: self._run_query(cq, df)
-            )
+        side_pool = (
+            ThreadPoolExecutor(max_workers=self.max_concurrent_jobs)
+            if (plan.relationals or plan.queries) and self.max_concurrent_jobs > 1
+            else None
+        )
+        fut_rel: dict[str, Any] = {}
+        fut_q: dict[str, Any] = {}
+        if side_pool is not None:
+            fut_rel = {
+                cr.cfg.id: side_pool.submit(
+                    self._run_relational, cr, df, violation_frames
+                )
+                for cr in plan.relationals
+            }
+            fut_q = {
+                cq.cfg.id: side_pool.submit(self._run_query, cq, df)
+                for cq in plan.queries
+            }
+
+        try:
+            for group in plan.groups:
+                gdf = df.filter(F.expr(group.row_condition)) if group.row_condition else df
+                persisted = False
+                if self.persist and group.n_passes > 1:
+                    gdf = gdf.persist(StorageLevel.MEMORY_AND_DISK)
+                    persisted = True
+                try:
+                    try:
+                        self._run_group(group, gdf, results_by_id, violation_frames)
+                    except Exception:
+                        if not self.catch_exceptions:
+                            raise
+                        # One bad expectation (e.g. unknown column) poisons the
+                        # shared bundle. Degrade to per-expectation mini-groups so
+                        # healthy expectations still validate and the broken one
+                        # gets its own EVR.exception_info (reference
+                        # catch_exceptions fault-isolation semantics).
+                        self._run_group_isolated(group, gdf, results_by_id, violation_frames)
+                finally:
+                    if persisted:
+                        gdf.unpersist()
+
+            for cm in plan.metas:
+                results_by_id[cm.cfg.id] = self._guard(
+                    cm.cfg, lambda cm=cm: self._run_meta(cm, df)
+                )
+            for cr in plan.relationals:
+                results_by_id[cr.cfg.id] = self._guard(
+                    cr.cfg,
+                    lambda cr=cr: (
+                        fut_rel[cr.cfg.id].result()
+                        if cr.cfg.id in fut_rel
+                        else self._run_relational(cr, df, violation_frames)
+                    ),
+                )
+            for cq in plan.queries:
+                results_by_id[cq.cfg.id] = self._guard(
+                    cq.cfg,
+                    lambda cq=cq: (
+                        fut_q[cq.cfg.id].result()
+                        if cq.cfg.id in fut_q
+                        else self._run_query(cq, df)
+                    ),
+                )
+        finally:
+            if side_pool is not None:
+                side_pool.shutdown(wait=True)
 
         if self.violations_path and violation_frames:
             out = violation_frames[0]
@@ -239,40 +283,43 @@ class SuiteRunner:
         out: dict[str, ExpectationValidationResult],
         violation_frames: list[DataFrame],
     ) -> None:
+        # Independent passes (bundle agg, mode groupBys, window pass, each
+        # uniqueness groupBy) are submitted as CONCURRENT Spark jobs from a
+        # thread pool: the scheduler interleaves their stages, so straggler
+        # tasks of one pass no longer leave the cluster idle — wall time per
+        # group approaches max(pass) instead of sum(pass).
+        from concurrent.futures import ThreadPoolExecutor
+
         # ---- P1: the bundled aggregation ---------------------------------
         exprs = group.bundle_exprs()
         for cu in group.uniques:
             exprs[f"nc__{cu.cfg.id}"] = F.sum(
                 F.when(self._unique_missing(cu), 1).otherwise(0)
             )
-        values: dict[str, Any] = {}
-        if exprs:
-            row = gdf.agg(*[e.alias(a) for a, e in exprs.items()]).collect()[0]
-            values = {k: _row_value(v) for k, v in row.asDict().items()}
 
-        # ---- P-groupby: exact value_counts for mode-style metrics --------
-        for col in group.value_counts_columns:
+        def bundle_job() -> dict[str, Any]:
+            if not exprs:
+                return {}
+            row = gdf.agg(*[e.alias(a) for a, e in exprs.items()]).collect()[0]
+            return {k: _row_value(v) for k, v in row.asDict().items()}
+
+        def mode_job(col: str) -> list[Any]:
             vc = (
                 gdf.filter(F.col(col).isNotNull())
                 .groupBy(col)
                 .agg(F.count(F.lit(1)).alias("count"))
-            )
-            vc = vc.persist(StorageLevel.MEMORY_AND_DISK)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 mx = vc.agg(F.max("count").alias("m")).collect()[0]["m"]
-                modes = (
+                return (
                     [r[col] for r in vc.filter(F.col("count") == mx).orderBy(col).collect()]
                     if mx is not None
                     else []
                 )
             finally:
                 vc.unpersist()
-            from great_expectations_spark.functions.aggregates import safe_alias
 
-            values[safe_alias("most_common", col)] = modes
-
-        # ---- P-window: window-backed map conditions -----------------------
-        if group.window_maps:
+        def window_job() -> dict[str, Any]:
             flag_cols = [
                 cm.condition.unexpected.cast("int").alias(f"uc__{cm.cfg.id}")
                 for cm in group.window_maps
@@ -282,7 +329,49 @@ class SuiteRunner:
                 .agg(*[F.sum(f"uc__{cm.cfg.id}").alias(f"uc__{cm.cfg.id}") for cm in group.window_maps])
                 .collect()[0]
             )
-            values.update(row.asDict())
+            return row.asDict()
+
+        n_jobs = (
+            1
+            + len(group.value_counts_columns)
+            + (1 if group.window_maps else 0)
+            + len(group.uniques)
+        )
+        pool = ThreadPoolExecutor(max_workers=min(n_jobs, self.max_concurrent_jobs))
+        fut_unique: dict[str, Any] = {}
+        try:
+            fut_bundle = pool.submit(bundle_job)
+            fut_modes = {
+                col: pool.submit(mode_job, col)
+                for col in group.value_counts_columns
+            }
+            fut_window = pool.submit(window_job) if group.window_maps else None
+            fut_unique = {
+                cu.cfg.id: pool.submit(self._unique_precompute, cu, gdf)
+                for cu in group.uniques
+            }
+
+            values: dict[str, Any] = dict(fut_bundle.result())
+            from great_expectations_spark.functions.aggregates import safe_alias
+
+            for col, fut in fut_modes.items():
+                values[safe_alias("most_common", col)] = fut.result()
+            if fut_window is not None:
+                values.update(fut_window.result())
+        except Exception:
+            # group-level failure → unpersist any dup frames the uniqueness
+            # jobs already materialized, then let the isolation path retry
+            pool.shutdown(wait=True)
+            for fut in fut_unique.values():
+                try:
+                    pre = fut.result()
+                    if pre.get("dups") is not None:
+                        pre["dups"].unpersist()
+                except Exception:  # noqa: BLE001 — its own EVR covers it
+                    pass
+            raise
+        finally:
+            pool.shutdown(wait=False)
 
         # ---- P2: aggregate-dependent map conditions -----------------------
         rebuilt: dict[str, Any] = {}
@@ -322,6 +411,7 @@ class SuiteRunner:
                 lambda cu=cu: self._finish_unique(
                     cu, gdf, element_count, int(values.get(f"nc__{cu.cfg.id}", 0) or 0),
                     violation_frames,
+                    precomputed=fut_unique[cu.cfg.id].result(),
                 ),
             )
 
@@ -464,18 +554,9 @@ class SuiteRunner:
         # compound default ignore_row_if = all_values_are_missing
         return reduce(lambda a, b: a & b, [F.col(c).isNull() for c in cu.key_cols])
 
-    def _finish_unique(
-        self,
-        cu: CompiledUnique,
-        gdf: DataFrame,
-        element_count: int,
-        null_count: int,
-        violation_frames: list[DataFrame],
-    ) -> ExpectationValidationResult:
-        """Key uniqueness via salted two-level groupBy — never the
-        reference's full-table ``Window.partitionBy`` (SURVEY.md §4.3).
-        Row-level marking parity: ALL rows of a duplicated key are
-        unexpected."""
+    def _unique_precompute(self, cu: CompiledUnique, gdf: DataFrame) -> dict:
+        """The heavy Spark jobs of one uniqueness check — runs on a worker
+        thread concurrently with the bundle/window passes (_run_group)."""
         domain = gdf.filter(~self._unique_missing(cu))
 
         if (
@@ -494,19 +575,43 @@ class SuiteRunner:
                 F.count(F.lit(1)).alias("n"),
             ).collect()[0]
             if row["n"] and row["ad"] < row["n"] * (1 - 0.025):
-                return ExpectationValidationResult(
-                    success=False,
-                    expectation_config=cu.cfg.to_dict(),
-                    result={},
-                )
+                return {"gate_failed": True}
 
-        vc = salted_value_counts(domain, cu.key_cols)
+        # auto skew strategy: salt single-column keys (hot conv_id), plain
+        # groupBy for compound keys whose hash spreads uniformly (skew.py)
+        vc = skew_value_counts(
+            domain, cu.key_cols, salted=cu.cfg.kwargs.get("salted")
+        )
         dups = vc.filter(F.col("count") > 1).persist(StorageLevel.MEMORY_AND_DISK)
+        stats = dups.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("uc"),
+            F.count(F.lit(1)).alias("dup_keys"),
+        ).collect()[0]
+        return {"gate_failed": False, "domain": domain, "dups": dups,
+                "stats": stats}
+
+    def _finish_unique(
+        self,
+        cu: CompiledUnique,
+        gdf: DataFrame,
+        element_count: int,
+        null_count: int,
+        violation_frames: list[DataFrame],
+        precomputed: dict | None = None,
+    ) -> ExpectationValidationResult:
+        """Key uniqueness via skew-aware two-level groupBy — never the
+        reference's full-table ``Window.partitionBy`` (SURVEY.md §4.3).
+        Row-level marking parity: ALL rows of a duplicated key are
+        unexpected."""
+        pre = precomputed if precomputed is not None else self._unique_precompute(cu, gdf)
+        if pre.get("gate_failed"):
+            return ExpectationValidationResult(
+                success=False,
+                expectation_config=cu.cfg.to_dict(),
+                result={},
+            )
+        domain, dups, stats = pre["domain"], pre["dups"], pre["stats"]
         try:
-            stats = dups.agg(
-                F.coalesce(F.sum("count"), F.lit(0)).alias("uc"),
-                F.count(F.lit(1)).alias("dup_keys"),
-            ).collect()[0]
             unexpected_count = int(stats["uc"])
             dup_keys = int(stats["dup_keys"])
 

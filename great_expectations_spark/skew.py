@@ -73,3 +73,26 @@ def salted_value_counts(
     salted = df.select(*key_cols, salt_expr(n_salts).alias("__salt"))
     partial = salted.groupBy(*key_cols, "__salt").agg(F.count(F.lit(1)).alias("__pc"))
     return partial.groupBy(*key_cols).agg(F.sum("__pc").alias("count"))
+
+
+def value_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    salted: bool | None = None,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Per-key counts with skew handling chosen by key shape.
+
+    ``salted=None`` (auto): salt single-column keys — the skew-prone shape
+    (a hot ``conv_id`` concentrates mapper-side spill groups); use a plain
+    ``groupBy`` for compound keys, whose hash distribution is uniform even
+    when a component column is hot (a hot conv_id does NOT make any
+    ``(conv_id, turn_idx)`` pair hot — salting there only buys an extra
+    full shuffle). Both paths keep map-side partial aggregation, so counts
+    shuffle pre-reduced either way.
+    """
+    if salted is None:
+        salted = len(key_cols) == 1
+    if salted:
+        return salted_value_counts(df, key_cols, n_salts)
+    return df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("count"))

@@ -1,0 +1,89 @@
+"""Physical-plan shape checks — the scale contract, not just correctness.
+
+A validation pass over a parquet/Iceberg table must:
+- prune columns at the scan (ReadSchema carries only referenced columns —
+  a 100 TB table with a wide text column must not read text for a
+  turn_idx-only suite);
+- broadcast the dim side of referential checks (no shuffle-sort-merge join
+  against a 50-row dimension);
+- keep map-condition counters inside WholeStageCodegen (no Python in the
+  hot path).
+
+These assert on ``explain``-style plan text of the DataFrames the engine
+builds, on real parquet written to tmp storage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.schema import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def tpath(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan") / "transcripts")
+    generate_transcripts(spark, n_turns=2_000, seed=3).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_agg_bundle_prunes_columns(spark, tpath):
+    """A turn_idx-only bundled agg over parquet must not read text/tool."""
+    df = spark.read.parquet(tpath)
+    bundle = df.agg(
+        F.count(F.lit(1)).alias("element_count"),
+        F.mean("turn_idx").alias("mean_turn"),
+        F.sum(F.when(F.col("turn_idx").isNull(), 1).otherwise(0)).alias("nulls"),
+    )
+    plan = _plan(bundle)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    read_schema = scan[0].split("ReadSchema:")[1]
+    assert "turn_idx" in read_schema
+    assert "text" not in read_schema and "tool" not in read_schema, read_schema
+
+
+def test_row_condition_pushes_down(spark, tpath):
+    """row_condition filters must reach the parquet scan as PushedFilters."""
+    df = spark.read.parquet(tpath).filter(F.expr("role = 'user'"))
+    counted = df.agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(counted)
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "role" in pushed and "EqualTo" in pushed, pushed
+
+
+def test_referential_join_broadcasts(spark, tpath):
+    from great_expectations_spark.schema import generate_tools_dim
+
+    df = spark.read.parquet(tpath)
+    dim = generate_tools_dim(spark).select(F.col("tool_name").alias("tool"))
+    orphans = df.filter(F.col("tool").isNotNull()).join(
+        F.broadcast(dim), "tool", "left_anti"
+    )
+    plan = _plan(orphans)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_map_counters_stay_in_codegen(spark, tpath):
+    """Condition counters (F.sum(F.when(...))) compile into
+    WholeStageCodegen — no Python evaluation nodes in the plan."""
+    df = spark.read.parquet(tpath)
+    counters = df.agg(
+        F.sum(F.when(~F.col("role").isin("user", "assistant", "system", "tool"), 1)
+              .otherwise(0)).alias("uc_role"),
+        F.sum(F.when(F.length("text") > 10_000, 1).otherwise(0)).alias("uc_len"),
+    )
+    counters.collect()  # AQE: codegen spans only appear in the final plan
+    plan = _plan(counters)
+    # "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # map-side partial aggregation (combine before shuffle) must be present
+    assert "partial_sum" in plan, plan

@@ -1,0 +1,70 @@
+"""profile_suite — the UserConfigurableProfiler analog (SURVEY.md §3 tail).
+
+Key property (reference's own guarantee): a profiled suite must PASS when
+validated against the batch it was built from.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from great_expectations_spark import ExpectationSuite, SuiteRunner
+from great_expectations_spark.profiler import profile_suite
+from great_expectations_spark.schema import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return generate_transcripts(spark, n_turns=5_000, seed=7)
+
+
+def test_profiled_suite_passes_on_training_batch(spark, tdf):
+    suite = profile_suite(tdf, primary_or_compound_key=["conv_id", "turn_idx"])
+    types = [e.expectation_type for e in suite]
+    assert "expect_table_columns_to_match_ordered_list" in types
+    assert "expect_table_row_count_to_be_between" in types
+    # role has <=10 distinct values (4 valid + injected junk) → value set
+    in_sets = [e for e in suite
+               if e.expectation_type == "expect_column_values_to_be_in_set"]
+    assert any(e.kwargs["column"] == "role" for e in in_sets)
+    # numeric turn_idx gets bounds + mean + median
+    assert "expect_column_mean_to_be_between" in types
+    assert "expect_column_median_to_be_between" in types
+    # temporal ts gets min/max
+    assert "expect_column_min_to_be_between" in types
+    assert "expect_compound_columns_to_be_unique" in types
+
+    res = SuiteRunner(spark).validate(tdf, suite)
+    failed = [
+        (r.expectation_config["expectation_type"], r.expectation_config["kwargs"],
+         (r.exception_info or {}).get("exception_message"))
+        for r in res.results if not r.success
+    ]
+    assert res.success, failed
+
+
+def test_profiled_suite_json_roundtrip(spark, tdf):
+    suite = profile_suite(tdf)
+    clone = ExpectationSuite.from_json(suite.to_json())
+    res = SuiteRunner(spark).validate(tdf, clone)
+    failed = [
+        (r.expectation_config["expectation_type"], r.expectation_config["kwargs"],
+         (r.exception_info or {}).get("exception_message"))
+        for r in res.results if not r.success
+    ]
+    assert res.success, failed
+
+
+def test_profiled_suite_catches_drift(spark, tdf):
+    from pyspark.sql import functions as F
+
+    suite = profile_suite(tdf, columns=["role", "turn_idx"])
+    drifted = tdf.withColumn(
+        "role", F.when(F.col("role") == "user", F.lit("USER")).otherwise(F.col("role"))
+    ).withColumn("turn_idx", F.col("turn_idx") + 1_000_000)
+    res = SuiteRunner(spark).validate(drifted, suite)
+    assert not res.success
+    failed_types = {r.expectation_config["expectation_type"]
+                    for r in res.results if not r.success}
+    assert "expect_column_values_to_be_in_set" in failed_types
+    assert "expect_column_mean_to_be_between" in failed_types
