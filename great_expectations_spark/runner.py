@@ -108,8 +108,15 @@ class SuiteRunner:
 
     # ------------------------------------------------------------------ API
     def validate(
-        self, df: DataFrame, suite: ExpectationSuite
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        evaluation_parameters: dict[str, Any] | None = None,
     ) -> ExpectationSuiteValidationResult:
+        if evaluation_parameters:
+            from great_expectations_spark.suite import bind_evaluation_parameters
+
+            suite = bind_evaluation_parameters(suite, evaluation_parameters)
         plan = plan_suite(suite)
         results_by_id: dict[str, ExpectationValidationResult] = {}
         violation_frames: list[DataFrame] = []
@@ -370,11 +377,28 @@ class SuiteRunner:
                 except Exception:  # noqa: BLE001 — its own EVR covers it
                     pass
             raise
-        finally:
-            pool.shutdown(wait=False)
 
+        # the pool stays open: EVR finishing below submits its partial-list
+        # jobs to it; closed in the finally at the end of the method
+        try:
+            self._run_group_finish(
+                group, gdf, values, {}, out, violation_frames, pool, fut_unique
+            )
+        finally:
+            pool.shutdown(wait=True)
+
+    def _run_group_finish(
+        self,
+        group: DomainGroup,
+        gdf: DataFrame,
+        values: dict[str, Any],
+        rebuilt: dict[str, Any],
+        out: dict[str, ExpectationValidationResult],
+        violation_frames: list[DataFrame],
+        pool,
+        fut_unique: dict[str, Any],
+    ) -> None:
         # ---- P2: aggregate-dependent map conditions -----------------------
-        rebuilt: dict[str, Any] = {}
         if group.dependent_maps:
             dep_exprs = {}
             for cm in group.dependent_maps:
@@ -389,16 +413,21 @@ class SuiteRunner:
         # ---- EVR assembly --------------------------------------------------
         element_count = int(values.get("element_count", 0) or 0)
 
+        # map-EVR finishing launches partial-list / top-k jobs when an
+        # expectation has unexpected rows — independent per expectation, so
+        # they go through the pool as well instead of running back-to-back
+        fin_futs = {}
         for cm in group.maps + group.window_maps + group.dependent_maps:
             cond = rebuilt.get(cm.cfg.id, cm.condition)
-            out[cm.cfg.id] = self._guard(
-                cm.cfg,
-                lambda cm=cm, cond=cond: self._finish_map(
-                    cm, cond, gdf, element_count, values
-                ),
+            fin_futs[cm.cfg.id] = pool.submit(
+                self._finish_map, cm, cond, gdf, element_count, values
             )
             if self.violations_path:
                 violation_frames.append(self._map_violations(cm, cond, gdf))
+        for cm in group.maps + group.window_maps + group.dependent_maps:
+            out[cm.cfg.id] = self._guard(
+                cm.cfg, lambda cm=cm: fin_futs[cm.cfg.id].result()
+            )
 
         for ca in group.aggs:
             out[ca.cfg.id] = self._guard(

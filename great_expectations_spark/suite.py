@@ -144,3 +144,42 @@ class ExpectationSuite:
                 ExpectationConfiguration.from_dict(e) for e in d.get("expectations", [])
             ],
         )
+
+
+# ---------------------------------------------------------------------------
+# evaluation parameters (reference: great_expectations/core/
+# evaluation_parameters.py — ``{"$PARAMETER": "name"}`` kwargs resolved at
+# validation time, e.g. a row count recorded by a previous run)
+# ---------------------------------------------------------------------------
+
+def _substitute(obj: Any, params: dict[str, Any]) -> Any:
+    if isinstance(obj, dict):
+        if set(obj.keys()) == {"$PARAMETER"}:
+            name = obj["$PARAMETER"]
+            if name not in params:
+                raise KeyError(f"evaluation parameter {name!r} not supplied")
+            return params[name]
+        return {k: _substitute(v, params) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_substitute(v, params) for v in obj]
+    return obj
+
+
+def bind_evaluation_parameters(
+    suite: ExpectationSuite, params: dict[str, Any]
+) -> ExpectationSuite:
+    """Return a copy of ``suite`` with every ``{"$PARAMETER": name}`` kwarg
+    replaced by ``params[name]``. The bound suite has its own suite_hash, so
+    checkpoint resume distinguishes runs bound to different parameters."""
+    return ExpectationSuite(
+        name=suite.name,
+        meta=dict(suite.meta),
+        expectations=[
+            ExpectationConfiguration(
+                expectation_type=e.expectation_type,
+                kwargs=_substitute(e.kwargs, params),
+                meta=dict(e.meta),
+            )
+            for e in suite.expectations
+        ],
+    )
