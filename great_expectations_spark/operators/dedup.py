@@ -80,15 +80,24 @@ def _norm(c: Column) -> Column:
 
 
 def shingle_hash_set(
-    text_col: str | Column, shingle_size: int = 5, mode: str = "char"
+    text_col: str | Column,
+    shingle_size: int = 5,
+    mode: str = "char",
+    normalize: bool = True,
 ) -> Column:
     """Distinct 64-bit hashes of the document's ``shingle_size``-grams.
 
     ``mode='char'`` slides over characters (robust for CJK / no-space text);
-    ``mode='word'`` slides over whitespace tokens. Pure Catalyst expressions
-    (sequence → transform → xxhash64 → array_distinct): stays in codegen.
+    ``mode='word'`` slides over whitespace tokens.
+
+    CAUTION (measured): a HOF lambda embeds its input subtree per element —
+    with ``normalize=True`` the trim/lower/regex normalization would be
+    re-evaluated for EVERY shingle position (~300× per doc). Callers on a
+    hot path should project ``_norm(col)`` into a real column first and pass
+    ``normalize=False`` (see :func:`minhash_signatures`).
     """
-    c = _norm(F.col(text_col) if isinstance(text_col, str) else text_col)
+    raw = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = _norm(raw) if normalize else raw
     if mode == "char":
         n = F.greatest(F.length(c) - (shingle_size - 1), F.lit(0))
         grams = F.transform(
@@ -139,15 +148,68 @@ def minhash_signatures(
     mode: str = "char",
 ) -> DataFrame:
     """(id, signature: array<bigint>[n_hashes]) — docs with no shingles
-    (empty/short text) are excluded (they cannot near-dup meaningfully)."""
-    sh = shingle_hash_set(text_col, shingle_size, mode)
-    return (
+    (empty/short text) are excluded (they cannot near-dup meaningfully).
+
+    NOT the nested higher-order-function form (``transform(seq, i ->
+    array_min(transform(s, h -> xxhash64(h, i))))``): Catalyst interprets
+    HOF lambdas per element instead of compiling them, measured ~4µs per
+    hash eval (23s for 5000 ×300-shingle docs). Explode + groupBy with one
+    codegen'd ``min(xxhash64(shingle, i))`` aggregate per permutation
+    computes the IDENTICAL signature values with whole-stage codegen and
+    map-side partial aggregation — the shuffle carries only
+    ``n_docs × n_hashes`` partial minima, not the shingles."""
+    # Shingling WITHOUT higher-order functions: HOF lambdas are interpreted
+    # per element (measured ~17µs per substr). explode(sequence(...)) runs
+    # in GenerateExec and the substring+xxhash64 projection is whole-stage
+    # codegen. array_distinct is dropped on purpose: min over a multiset
+    # equals min over its set, so duplicate shingles can't change minima.
+    k = int(shingle_size)
+    base = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), sh.alias("__shingles"))
-        .filter(F.size("__shingles") > 0)
+        .select(F.col(id_col), _norm(F.col(text_col)).alias("__t"))
+    )
+    if mode == "char":
+        base = base.filter(F.length("__t") >= k)
+        exploded = base.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - (k - 1))
+            ).alias("__p"),
+            "__t",
+        ).select(
+            id_col,
+            F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("__sh"),
+        )
+    elif mode == "word":
+        base = base.select(
+            F.col(id_col), F.split("__t", " ").alias("__toks")
+        ).filter(F.size("__toks") >= k)
+        exploded = base.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1))
+            ).alias("__p"),
+            "__toks",
+        ).select(
+            id_col,
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("__toks", F.col("__p"), F.lit(k)))
+            ).alias("__sh"),
+        )
+    else:
+        raise ValueError("mode must be 'char' or 'word'")
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__m{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*aggs)
         .select(
             id_col,
-            minhash_signature("__shingles", n_hashes).alias("signature"),
+            F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias(
+                "signature"
+            ),
         )
     )
 
