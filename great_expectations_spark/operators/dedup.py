@@ -410,6 +410,51 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, fingerprint: bigint) — the DataFrame-level SimHash path.
+
+    Same HOF-interpretation hazard as MinHash (see minhash_signatures):
+    the Column form runs bits×|tokens| interpreted lambda evals per doc.
+    Here tokens explode through GenerateExec and each bit's vote is one
+    codegen'd ``sum(case when getbit(h, i)=1 then 1 else -1 end)``
+    aggregate with map-side combine; the signed votes fold into the
+    fingerprint with 64 static shifted constants. Identical fingerprints
+    to :func:`simhash` for docs with ≥1 token; token-less docs are dropped
+    (the Column form gives them fingerprint 0)."""
+    from functools import reduce
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _norm(F.col(text_col)).alias("__t")
+    )
+    toks = (
+        base.select(F.col(id_col), F.explode(F.split("__t", " ")).alias("__tok"))
+        .filter(F.length("__tok") > 0)
+        .select(id_col, F.xxhash64("__tok").alias("__h"))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.getbit(F.col("__h"), F.lit(i)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    # bit 63 of a signed long is its sign bit: (1 << 63) as int64 == -2^63
+    fp = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col(f"__v{i}") > 0,
+                F.lit((1 << i) if i < 63 else -(2**63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    return votes.select(F.col(id_col), fp.alias("fingerprint"))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -433,8 +478,8 @@ def simhash_candidates(
     w = bits // chunks
     mask = (1 << w) - 1
 
-    fp = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__fp")
+    fp = simhash_fingerprints(df, text_col, id_col, bits).select(
+        F.col(id_col).alias("__id"), F.col("fingerprint").alias("__fp")
     )
     if persist:
         from pyspark.storagelevel import StorageLevel

@@ -203,6 +203,41 @@ def kgram_fingerprints(
     )
 
 
+def kgram_fingerprint_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, p: int = 4
+) -> DataFrame:
+    """(id, fp) rows of distinct selected k-gram fingerprints per doc —
+    the DataFrame-level path for :func:`kgram_fingerprints`.
+
+    The Column form's HOF lambdas are interpreted per gram position
+    (measured ~90µs/row under explode); here gram positions explode through
+    GenerateExec and the substring+hash+mod-p selection is whole-stage
+    codegen. Same "0 mod p" selection and same min-hash fallback for docs
+    that select nothing."""
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("__t"),
+        )
+        .filter(F.length("__t") >= k)
+    )
+    grams = base.select(
+        "__id",
+        F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
+        "__t",
+    ).select(
+        "__id", F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("fp")
+    )
+    selected = grams.filter(F.pmod("fp", F.lit(p)) == 0).distinct()
+    fallback = (
+        grams.join(selected.select("__id").distinct(), "__id", "left_anti")
+        .groupBy("__id")
+        .agg(F.min("fp").alias("fp"))
+    )
+    return selected.unionByName(fallback)
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     text_col: str,
@@ -210,15 +245,17 @@ def fingerprint_overlap_pairs(
     k: int = 8,
     p: int = 4,
     min_shared: int = 2,
-    max_bucket_size: int = 5000,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Plagiarism-style containment detection: explode k-gram
     fingerprints, join on fingerprint, count shared prints per pair.
-    Returns (id_a, id_b, shared_fingerprints)."""
-    fps = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.explode(kgram_fingerprints(text_col, k, p)).alias("fp"),
-    )
+    Returns (id_a, id_b, shared_fingerprints).
+
+    ``max_bucket_size`` discards fingerprints shared by more than that many
+    documents before the pair join — ubiquitous grams ("stop fingerprints",
+    standard winnowing practice) carry no containment signal and blow the
+    join up quadratically (a 5000-doc bucket alone is 12.5M pairs)."""
+    fps = kgram_fingerprint_rows(df, text_col, id_col, k, p)
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__bsz"))
     fps = fps.join(
         sizes.filter(F.col("__bsz") <= max_bucket_size).select("fp"),
