@@ -249,6 +249,7 @@ class Checkpoint:
         partition_col: str,
         partition_values: list[Any] | None = None,
         fail_partition: Any = None,
+        max_concurrent_partitions: int = 1,
     ) -> CheckpointRunResult:
         """Validate ``df`` partition-by-partition, resuming from the manifest.
 
@@ -256,6 +257,14 @@ class Checkpoint:
         ``partition_col`` (one extra scan of that column only — prunable).
         ``fail_partition`` is a test hook: raises mid-run after that
         partition would start, simulating a kill for resume tests.
+
+        ``max_concurrent_partitions`` > 1 validates that many partitions as
+        concurrent Spark job sets (thread pool) — small partitions rarely
+        saturate the cluster alone, so overlapping them fills the scheduler.
+        Manifest/EVR parquet appends are serialized through a lock (one
+        writer at a time avoids committer staging races); a partition's
+        manifest row still commits only after its validation finished, so
+        resume semantics are identical to the sequential path.
         """
         shash = suite_hash(suite)
         done = self.completed_partitions(shash)
@@ -272,17 +281,12 @@ class Checkpoint:
             **self.runner_kwargs,
         )
 
-        for pv in partition_values:
+        import threading
+
+        write_lock = threading.Lock()
+
+        def run_partition(pv: Any) -> PartitionRunRecord:
             pid = str(pv)
-            if pid in done:
-                out.records.append(
-                    PartitionRunRecord(partition_id=pid, status="skipped")
-                )
-                continue
-            if fail_partition is not None and pid == str(fail_partition):
-                raise RuntimeError(
-                    f"simulated kill before partition {pid!r} (test hook)"
-                )
             t0 = time.monotonic()
             # Catalyst partition-prunes this filter when partition_col is a
             # physical partition column of the source (Iceberg / dir-parquet).
@@ -297,29 +301,56 @@ class Checkpoint:
                 rows_scanned = max(rows_scanned, int(res.get("element_count") or 0))
                 violations += int(res.get("unexpected_count") or 0)
 
-            self._append_evrs(run_id, pid, result)
-            self._append_manifest(
-                {
-                    "run_id": run_id,
-                    "partition_id": pid,
-                    "status": "validated",
-                    "suite_hash": shash,
-                    "rows_scanned": rows_scanned,
-                    "violations": violations,
-                    "elapsed_s": elapsed,
-                    "success": bool(result.success),
-                }
-            )
-            out.records.append(
-                PartitionRunRecord(
-                    partition_id=pid,
-                    status="validated",
-                    result=result,
-                    rows_scanned=rows_scanned,
-                    violations=violations,
-                    elapsed_s=elapsed,
+            with write_lock:
+                self._append_evrs(run_id, pid, result)
+                self._append_manifest(
+                    {
+                        "run_id": run_id,
+                        "partition_id": pid,
+                        "status": "validated",
+                        "suite_hash": shash,
+                        "rows_scanned": rows_scanned,
+                        "violations": violations,
+                        "elapsed_s": elapsed,
+                        "success": bool(result.success),
+                    }
                 )
+            return PartitionRunRecord(
+                partition_id=pid,
+                status="validated",
+                result=result,
+                rows_scanned=rows_scanned,
+                violations=violations,
+                elapsed_s=elapsed,
             )
+
+        todo: list[Any] = []
+        for pv in partition_values:
+            pid = str(pv)
+            if pid in done:
+                out.records.append(
+                    PartitionRunRecord(partition_id=pid, status="skipped")
+                )
+                continue
+            todo.append(pv)
+
+        if max_concurrent_partitions <= 1:
+            for pv in todo:
+                if fail_partition is not None and str(pv) == str(fail_partition):
+                    raise RuntimeError(
+                        f"simulated kill before partition {pv!r} (test hook)"
+                    )
+                out.records.append(run_partition(pv))
+        else:
+            if fail_partition is not None:
+                raise ValueError(
+                    "fail_partition (test hook) requires sequential mode"
+                )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrent_partitions) as pool:
+                for rec in pool.map(run_partition, todo):
+                    out.records.append(rec)
         return out
 
     # ------------------------------------------------------------- merge view

@@ -110,3 +110,49 @@ def test_merge_map_counts_reapplies_mostly():
     # 196/200 = 0.98 >= 0.97 → success even though partition 1 alone was 0.96
     assert merged["success"] is True
     assert merge_map_counts(parts, mostly=0.99)["success"] is False
+
+
+def test_concurrent_partition_run_matches_sequential(spark, tmp_path):
+    """max_concurrent_partitions>1 must produce the same manifest/EVR state
+    and per-partition results as the sequential path, and resume cleanly."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark import ExpectationSuite
+    from great_expectations_spark.checkpoint import Checkpoint
+    from great_expectations_spark.schema import generate_transcripts
+
+    tdf = generate_transcripts(spark, n_turns=4_000, seed=11).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    suite = ExpectationSuite("cc")
+    suite.add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+    suite.add("expect_column_mean_to_be_between", column="turn_idx",
+              min_value=0, max_value=10_000)
+
+    seq = Checkpoint(spark, manifest_path=str(tmp_path / "m_seq"),
+                     evr_path=str(tmp_path / "e_seq"))
+    conc = Checkpoint(spark, manifest_path=str(tmp_path / "m_conc"),
+                      evr_path=str(tmp_path / "e_conc"))
+    r_seq = seq.run(tdf, suite, run_id="r", partition_col="bucket")
+    r_conc = conc.run(tdf, suite, run_id="r", partition_col="bucket",
+                      max_concurrent_partitions=4)
+
+    def summarize(res):
+        return sorted(
+            (rec.partition_id, rec.rows_scanned, rec.violations,
+             rec.result.success)
+            for rec in res.validated
+        )
+
+    assert summarize(r_seq) == summarize(r_conc)
+    evr_seq = spark.read.parquet(str(tmp_path / "e_seq"))
+    evr_conc = spark.read.parquet(str(tmp_path / "e_conc"))
+    cols = ["partition_id", "expectation_type", "success",
+            "element_count", "unexpected_count"]
+    assert sorted(map(tuple, evr_seq.select(*cols).collect())) == \
+        sorted(map(tuple, evr_conc.select(*cols).collect()))
+
+    # resume: everything skipped on a re-run (concurrent mode too)
+    r2 = conc.run(tdf, suite, run_id="r2", partition_col="bucket",
+                  max_concurrent_partitions=4)
+    assert len(r2.skipped) == 4 and not r2.validated
