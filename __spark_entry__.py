@@ -297,6 +297,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count(F.lit(1)).cast("long").alias("simhash_pairs"))
 
 
+def q_ann_top1_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force top-1 (operators/similarity.py::
+    brute_force_topk_arrow) — BLAS matmul per Arrow batch with
+    partition-local top-k; same oracle as the expression path."""
+    from great_expectations_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk_arrow(queries_df, emb, id_col="vec_id",
+                                 vec_col="embedding", k=1)
+    return top.select("query_id", "neighbor_id").orderBy("query_id")
+
+
 def q_ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe = all centroids — exhaustive probing makes IVF
     EXACT, so the brute-force cosine top-1 SQL oracle applies; this checks
@@ -374,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top1": q_ann_top1,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "ann_top1_arrow": q_ann_top1_arrow,
         "ann_ivf_top1": q_ann_ivf_top1,
         "split_mod_batch": q_split_mod_batch,
         "split_year_month_counts": q_split_year_month_counts,
@@ -471,6 +487,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
         ),
         "ann_top1": (
+            "SELECT query_id, neighbor_id FROM ("
+            "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(a.embedding, b.embedding) DESC,"
+            " b.vec_id ASC) AS rnk "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id "
+            "WHERE a.vec_id < 8) WHERE rnk = 1 ORDER BY query_id"
+        ),
+        "ann_top1_arrow": (
             "SELECT query_id, neighbor_id FROM ("
             "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
             "row_number() OVER (PARTITION BY a.vec_id ORDER BY "

@@ -274,6 +274,21 @@ def q_ann_topk(spark: SparkSession) -> dict:
     return {"result_rows": top.count()}
 
 
+def q_ann_topk_arrow(spark: SparkSession) -> dict:
+    """Arrow/numpy brute-force path at 32x the query batch of q_ann_topk —
+    the BLAS matmul makes batch size ~free while the expression form scales
+    linearly in interpreted lambda evals."""
+    from great_expectations_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = _load(spark, "embeddings")
+    queries = emb.limit(512).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk_arrow(queries, emb, id_col="vec_id",
+                                 vec_col="embedding", k=10)
+    return {"result_rows": top.count()}
+
+
 def q_text_stats(spark: SparkSession) -> dict:
     from great_expectations_spark.operators.textstats import text_quality_profile
 
@@ -299,6 +314,7 @@ def main() -> None:
         "kl_text_len": q_kl_text_len,
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
+        "ann_topk_arrow": q_ann_topk_arrow,
         "text_stats": q_text_stats,
     }
     # BENCH_QUERIES=a,b,c restricts the run (scaling harness runs only the

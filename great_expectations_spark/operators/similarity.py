@@ -220,3 +220,74 @@ def ivf_topk(
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     return _topk_per_query(scored, k)
+
+
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    exclude_self: bool = True,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the throughput
+    path for dense vectors.
+
+    The expression form (:func:`brute_force_topk`) evaluates the dot product
+    with ``zip_with``/``aggregate`` HOFs, which Catalyst interprets per
+    component (~|q|·|corpus|·dim lambda evals). Here the (small) query batch
+    is collected once, L2-normalized into a numpy matrix, and captured by a
+    ``mapInPandas`` closure (serialized into the task — the moral equivalent
+    of a broadcast; swap in ``sparkContext.broadcast`` if query batches grow
+    toward ``max_queries``); each Arrow batch of the corpus computes one
+    BLAS ``M @ Q.T`` and emits only its PARTITION-LOCAL top-k per query, so
+    the shuffle into the global top-k window carries ≤ |q|·k rows per batch
+    regardless of corpus size. Corpus-side parallelism is the file/partition
+    layout — no corpus shuffle at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries > max_queries={max_queries}; "
+            "batch your queries (each batch is one corpus pass)"
+        )
+    qids = np.array([r["qid"] for r in qrows])
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["__cv"]), dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            S = M @ Q.T  # (batch, q)
+            ids = pdf["__id"].to_numpy()
+            kk = min(k + (1 if exclude_self else 0), len(ids))
+            # partition-local top-k per query (argpartition: O(n) per query)
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, q)
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j in range(S.shape[1]):
+                for i in top[:, j]:
+                    rows["query_id"].append(qids[j])
+                    rows["neighbor_id"].append(ids[i])
+                    rows["cosine"].append(S[i, j])
+            yield pd.DataFrame(rows)
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.mapInPandas(score_batches, schema=out_schema)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _topk_per_query(scored, k)

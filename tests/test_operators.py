@@ -403,3 +403,22 @@ class TestMultimodal:
         got = [(f.name, f.dataType.simpleString()) for f in media.schema.fields]
         want = [(f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA.fields]
         assert got == want
+
+
+def test_brute_force_topk_arrow_matches_expression(spark):
+    """Arrow/numpy path must return the same neighbors as the expression
+    path (same data, same tie-breaks)."""
+    from great_expectations_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+    b = brute_force_topk_arrow(queries, emb, "vec_id", "embedding", k=5)
+    ra = sorted((r.query_id, r.rank, r.neighbor_id) for r in a.collect())
+    rb = sorted((r.query_id, r.rank, r.neighbor_id) for r in b.collect())
+    assert ra == rb
