@@ -297,6 +297,34 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count(F.lit(1)).cast("long").alias("simhash_pairs"))
 
 
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles through the engine's quantile metric
+    (functions/aggregates.py::quantile_values, approximate=False — Spark
+    ``percentile``, linear interpolation, same as DuckDB quantile_cont)."""
+    from great_expectations_spark.functions.aggregates import quantile_values
+
+    li = _load(spark, sf_dir, "lineitem")
+    m = quantile_values("l_quantity", [0.25, 0.5, 0.75], approximate=False)
+    vals = li.agg(*[e.alias(a) for a, e in m.exprs.items()]).collect()[0].asDict()
+    q25, q50, q75 = [round(float(x), 6) for x in m.finalize(vals)]
+    return spark.createDataFrame([(q25, q50, q75)],
+                                 "q25 double, q50 double, q75 double")
+
+
+def q_kl_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical KL divergence of l_returnflag vs a uniform 3-way baseline
+    (profile.py::_categorical_kl — the engine's bundled-agg KL path),
+    rounded to 6dp on both sides to make the float hash-comparable."""
+    from great_expectations_spark.profile import kl_divergence_metric
+
+    li = _load(spark, sf_dir, "lineitem")
+    baseline = {"values": ["A", "N", "R"], "weights": [1 / 3, 1 / 3, 1 / 3]}
+    metric = kl_divergence_metric("l_returnflag", baseline)
+    vals = li.agg(*[e.alias(a) for a, e in metric.exprs.items()]).collect()[0].asDict()
+    kl = float(metric.finalize(vals))
+    return spark.createDataFrame([(round(kl, 6),)], "kl double")
+
+
 def q_ann_top1_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force top-1 (operators/similarity.py::
     brute_force_topk_arrow) — BLAS matmul per Arrow batch with
@@ -389,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top1": q_ann_top1,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "quantiles_exact": q_quantiles_exact,
+        "kl_categorical": q_kl_categorical,
         "ann_top1_arrow": q_ann_top1_arrow,
         "ann_ivf_top1": q_ann_ivf_top1,
         "split_mod_batch": q_split_mod_batch,
@@ -494,6 +524,17 @@ def oracle_sql() -> dict[str, str]:
             " b.vec_id ASC) AS rnk "
             "FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id "
             "WHERE a.vec_id < 8) WHERE rnk = 1 ORDER BY query_id"
+        ),
+        "quantiles_exact": (
+            "SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25, "
+            "round(quantile_cont(l_quantity, 0.5), 6) AS q50, "
+            "round(quantile_cont(l_quantity, 0.75), 6) AS q75 FROM lineitem"
+        ),
+        "kl_categorical": (
+            "WITH c AS (SELECT l_returnflag AS v, CAST(count(*) AS DOUBLE) AS n "
+            "FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1), "
+            "t AS (SELECT sum(n) AS s FROM c) "
+            "SELECT round(SUM((n/s) * ln((n/s) / (1.0/3))), 6) AS kl FROM c, t"
         ),
         "ann_top1_arrow": (
             "SELECT query_id, neighbor_id FROM ("
