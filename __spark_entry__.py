@@ -297,6 +297,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count(F.lit(1)).cast("long").alias("simhash_pairs"))
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only — stubbed codec per round
+    brief): synthesize a deterministic binary media table, decode to
+    feature vectors via Arrow mapInPandas, return per-format decode stats
+    (operators/multimodal.py). No SQL oracle: the fake encoder is
+    sha256+numpy, not expressible in DuckDB."""
+    from great_expectations_spark.operators.multimodal import (
+        decode_image_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n_rows=128, seed=42)
+    feats = decode_image_features(media, dim=16)
+    return feats.agg(
+        F.count(F.lit(1)).cast("long").alias("decoded_rows"),
+        F.sum("decode_ok").cast("long").alias("decode_ok"),
+        F.round(F.sum(F.aggregate(
+            "features", F.lit(0.0),
+            lambda acc, x: acc + (x * x).cast("double"),
+        )), 3).alias("sum_sq_norm"),
+    )
+
+
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles through the engine's quantile metric
     (functions/aggregates.py::quantile_values, approximate=False — Spark
@@ -417,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top1": q_ann_top1,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "media_features": q_media_features,
         "quantiles_exact": q_quantiles_exact,
         "kl_categorical": q_kl_categorical,
         "ann_top1_arrow": q_ann_top1_arrow,
