@@ -327,7 +327,7 @@ def main() -> None:
     # BENCH_REPEAT>1: run each query N times in-JVM and report the MIN —
     # the sandbox host shows >2x run-to-run noise on identical jobs, and the
     # minimum is the least-contended (most cluster-representative) sample
-    n_repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
+    n_repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
 
     timings: dict[str, float] = {}
     extras: dict[str, dict] = {}
