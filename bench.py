@@ -45,9 +45,11 @@ def _sf_of(path: str) -> float:
 
 
 SF = _sf_of(SF_DIR)
-# transcripts scale: sf0.1 → 2M turns (~same order as 600k-row lineitem × suite
-# passes); deterministic, generated once and cached as parquet.
-N_TURNS = int(os.environ.get("BENCH_TURNS", str(max(20_000, int(20_000_000 * SF)))))
+# transcripts scale: sf0.1 → 16M turns — the SAME scale as BENCH/BASELINE.md's
+# recorded two-level scaling runs, so the per-round suite_transcripts number is
+# directly comparable to the baseline's 845k (N) / 2.75M (4N) turns/sec.
+# Deterministic, generated once and cached as a bucketed table.
+N_TURNS = int(os.environ.get("BENCH_TURNS", str(max(20_000, int(160_000_000 * SF)))))
 
 
 def build_spark(cpus: int = CPUS) -> SparkSession:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -275,19 +276,29 @@ class Checkpoint:
             )
 
         out = CheckpointRunResult(run_id=run_id, suite_hash=shash)
-        runner = SuiteRunner(
-            self.spark,
-            violations_path=self.violations_path,
-            **self.runner_kwargs,
-        )
 
         import threading
+        import urllib.parse
 
         write_lock = threading.Lock()
 
         def run_partition(pv: Any) -> PartitionRunRecord:
             pid = str(pv)
             t0 = time.monotonic()
+            # Each partition's violations go to their OWN Hive-style
+            # subdirectory (violations_path/partition_id=<pid>/): concurrent
+            # workers never append to the same parquet root, so no two
+            # threads share a _temporary committer staging dir (the
+            # manifest/EVR lock below does not cover this write), and
+            # reading the root rediscovers partition_id as a column.
+            vpath = self.violations_path
+            if vpath is not None:
+                vpath = os.path.join(
+                    vpath, f"partition_id={urllib.parse.quote(pid, safe='')}"
+                )
+            runner = SuiteRunner(
+                self.spark, violations_path=vpath, **self.runner_kwargs
+            )
             # Catalyst partition-prunes this filter when partition_col is a
             # physical partition column of the source (Iceberg / dir-parquet).
             pdf = df.filter(F.col(partition_col) == F.lit(pv))

@@ -210,7 +210,13 @@ def histogram(column: str, bins: list[float]) -> AggMetric:
             op = "<=" if i == n - 1 else "<"
             conds.append(f"{col_sql} {op} {hi!r}")
         parts.append(f"sum(case when {' and '.join(conds)} then 1 else 0 end)")
-    alias = safe_alias("hist", column, n, bins[0], bins[-1])
+    # the alias must encode EVERY edge, not just endpoints: two histograms
+    # over the same column/range with different interior edges (uniform vs
+    # quantile bins) must not collide in the domain group's bundle dict
+    import hashlib
+
+    bins_digest = hashlib.md5(repr([float(b) for b in bins]).encode()).hexdigest()[:10]
+    alias = safe_alias("hist", column, n, bins_digest)
     expr = F.expr("array(" + ", ".join(parts) + ")")
 
     def fin(v: dict[str, Any]) -> list[int]:

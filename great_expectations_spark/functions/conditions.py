@@ -426,6 +426,16 @@ def _monotone(
         keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         w = Window.partitionBy(*keys)
     else:
+        import warnings
+
+        warnings.warn(
+            f"increasing/decreasing on {column!r} without partition_by uses a "
+            "GLOBAL window: Spark shuffles the whole batch into one task. "
+            "Fine for small batches / reference parity; at scale pass "
+            "partition_by (e.g. partition_by='conv_id') so the window is "
+            "per-key.",
+            stacklevel=3,
+        )
         w = Window.partitionBy()
     w = w.orderBy(order_by if order_by else F.monotonically_increasing_id())
     prev = F.lag(c).over(w)

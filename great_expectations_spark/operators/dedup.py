@@ -654,44 +654,65 @@ def duplicate_clusters(
     so this converges in 2–4 rounds; each round is one shuffle.
 
     Returns (id, cluster_id) for every node that appears in any pair.
+
+    Iterative-lineage discipline: each round's labels are cut from the
+    previous round's plan with ``localCheckpoint(eager=True)`` — without it
+    the convergence-check action materializes the full join lineage and the
+    NEXT round recomputes it again, so the final plan re-executes an
+    exponentially deepening DAG (round-1's dominant bench cost). Edges are
+    persisted once (reused every round) and released on exit.
     """
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "cluster_id", F.col("id")
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nmin"))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("id"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nmin"))
             )
-        )
-        # convergence check: one cheap count per round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                # truncate lineage: one materialization per round, reused by
+                # both the convergence check and the next round's joins
+                .localCheckpoint(eager=True)
+            )
+            # convergence check: one cheap count per round over checkpointed
+            # inputs (no recomputation)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
 
 
 def minhash_dedup(

@@ -145,35 +145,59 @@ def build_ivf_index(
     vec_col: str,
     n_centroids: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF index build: deterministic centroid sample (every ⌈n/k⌉-th row by
-    id order — seedless, reproducible) + one nearest-centroid assignment
-    pass over the corpus.
+    """IVF index build — both passes scale-shaped:
+
+    1. **Centroid sample**: the ``n_centroids`` corpus rows with the smallest
+       ``xxhash64(id)`` — seedless, deterministic, order-independent. Spark
+       plans ``orderBy(h).limit(k)`` as ``TakeOrderedAndProject``: each task
+       keeps a local top-k heap and the driver merges k·tasks candidate
+       rows — NO global sort, NO single-partition shuffle of the corpus
+       (the round-1 ``Window.orderBy`` build shuffled everything into one
+       task). The k winning vectors are collected to the driver (k is the
+       user-chosen centroid count, small by construction) and embedded as
+       literals.
+    2. **Assignment**: per-row argmax over the k literal centroid vectors —
+       one narrow projection, ZERO shuffle (round 1 exploded n·k rows
+       through a window). Ties break toward the smallest centroid_id via
+       the (sim, -cid) struct-max ordering.
 
     Returns (centroids(centroid_id, centroid_vec),
              assigned(centroid_id, id, vec)). Persist ``assigned`` (or write
     it bucketed by centroid_id) when serving repeated query batches.
     """
-    w = Window.orderBy(id_col)
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
-    centroids = (
-        corpus.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") - 1) % stride == 0)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+    hashed = corpus.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        F.col(vec_col).alias("centroid_vec"),
+    )
+    k_rows = hashed.orderBy("__h", "centroid_vec").limit(n_centroids).collect()
+    spark = corpus.sparkSession
+    vec_type = corpus.schema[vec_col].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    centroids = spark.createDataFrame(
+        [(i + 1, list(r["centroid_vec"])) for i, r in enumerate(k_rows)],
+        StructType(
+            [
+                StructField("centroid_id", IntegerType(), False),
+                StructField("centroid_vec", vec_type, False),
+            ]
+        ),
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine_similarity(
+                        F.col(vec_col), F.lit(list(r["centroid_vec"]))
+                    ).alias("s"),
+                    F.lit(-(i + 1)).alias("ncid"),
+                )
+                for i, r in enumerate(k_rows)
+            ]
         )
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
-    scored = c.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
-    )
-    wbest = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "centroid_id")
-    assigned = (
-        scored.withColumn("__r", F.row_number().over(wbest))
-        .filter(F.col("__r") == 1)
-        .select("centroid_id", id_col, vec_col)
+    assigned = corpus.select(
+        (-best["ncid"]).alias("centroid_id"), F.col(id_col), F.col(vec_col)
     )
     return centroids, assigned
 

@@ -525,8 +525,12 @@ def _in_type_list(df: DataFrame, kw: dict[str, Any]):
 def _compile_exist_in(cfg: ExpectationConfiguration) -> CompiledRelational:
     """Referential-integrity check (north_star "column-pair referential
     checks"): every non-null value of `column` must exist in
-    `other_table.other_column`. Executed as a LEFT-ANTI join — Catalyst/AQE
-    picks broadcast when the dim fits (SURVEY.md §2.7)."""
+    `other_table.other_column`. Executed as a LEFT-ANTI join — by default
+    Catalyst/AQE picks broadcast when the dim fits under
+    ``autoBroadcastJoinThreshold`` (SURVEY.md §2.7). ``broadcast=True``
+    FORCES the hint (only when the caller knows the dim is small — an
+    unconditional hint OOMs executors on a large dim at scale);
+    ``broadcast=False`` forbids it (``merge`` hint → sort-merge join)."""
     from pyspark.sql import functions as F
 
     column = cfg.kwargs["column"]
@@ -536,10 +540,13 @@ def _compile_exist_in(cfg: ExpectationConfiguration) -> CompiledRelational:
 
     def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
         dim = tables[other_table].select(F.col(other_column).alias(column)).distinct()
+        force = cfg.kwargs.get("broadcast")  # None → AQE decides
+        if force is True:
+            dim = F.broadcast(dim)
+        elif force is False:
+            dim = dim.hint("merge")
         return df.filter(F.col(column).isNotNull()).join(
-            F.broadcast(dim) if cfg.kwargs.get("broadcast", True) else dim,
-            on=column,
-            how="left_anti",
+            dim, on=column, how="left_anti"
         )
 
     def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:

@@ -83,6 +83,20 @@ class SuiteRunner:
         expectation — the at-scale alternative to COMPLETE collects.
     catch_exceptions: per-expectation fault isolation (EVR.exception_info),
         reference checkpoint default.
+    max_complete_rows: driver-OOM guard for ``result_format=COMPLETE`` —
+        when an expectation's unexpected_count exceeds this, the full
+        unexpected_list collect is SKIPPED and the EVR degrades to SUMMARY
+        content plus ``details.complete_truncated`` (the violations sink is
+        the at-scale channel for the full row set). ``None`` disables the
+        guard (reference parity).
+    persist: cache the batch across multi-pass groups. Default False — the
+        bundled planner already makes most suites single-pass, and caching a
+        100 TB scan is usually a net loss. CAVEAT (diverges from the
+        reference SparkDFExecutionEngine persist=True): if the batch's
+        lineage is non-deterministic (unseeded ``rand()``/sample,
+        non-deterministic UDFs), separate passes may observe DIFFERENT rows
+        and produce internally inconsistent EVRs — pass ``persist=True`` to
+        pin a consistent snapshot for such inputs.
     """
 
     def __init__(
@@ -94,6 +108,7 @@ class SuiteRunner:
         catch_exceptions: bool = True,
         persist: bool = False,
         max_concurrent_jobs: int = 4,
+        max_complete_rows: int | None = 1_000_000,
     ) -> None:
         self.spark = spark
         self.tables = tables or {}
@@ -101,6 +116,7 @@ class SuiteRunner:
         self.violations_path = violations_path
         self.catch_exceptions = catch_exceptions
         self.persist = persist
+        self.max_complete_rows = max_complete_rows
         # independent validation passes are submitted as concurrent Spark
         # jobs (thread pool → FIFO scheduler interleaves stages); 1 restores
         # strictly sequential execution
@@ -481,6 +497,7 @@ class SuiteRunner:
         unexpected_list = None
         unexpected_index_list = None
         unexpected_rows = None
+        complete_truncated = False
 
         if level != "BOOLEAN_ONLY" and unexpected_count > 0:
             flags = self._map_flags(cond, gdf, index_cols).filter(F.col("__unexpected"))
@@ -504,7 +521,15 @@ class SuiteRunner:
                     {"value": _row_value(r["__observed"]), "count": int(r["count"])}
                     for r in counts
                 ]
-            if level == "COMPLETE":
+            if (
+                level == "COMPLETE"
+                and self.max_complete_rows is not None
+                and unexpected_count > self.max_complete_rows
+            ):
+                # driver-OOM guard: degrade to SUMMARY content; the
+                # violations sink carries the full row set executor-side
+                complete_truncated = True
+            if level == "COMPLETE" and not complete_truncated:
                 # full collects — reference parity; the violations sink is
                 # the at-scale alternative (SURVEY.md §4.3)
                 rows = flags.collect()
@@ -539,6 +564,13 @@ class SuiteRunner:
             unexpected_rows=unexpected_rows,
             unexpected_index_column_names=index_cols if index_cols else None,
         )
+        if complete_truncated:
+            result.setdefault("details", {})["complete_truncated"] = {
+                "unexpected_count": unexpected_count,
+                "max_complete_rows": self.max_complete_rows,
+                "note": "unexpected_list collect skipped (driver-OOM guard); "
+                "use the violations sink for the full row set",
+            }
         return ExpectationValidationResult(
             success=success, expectation_config=cm.cfg.to_dict(), result=result
         )

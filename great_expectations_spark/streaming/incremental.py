@@ -5,16 +5,20 @@ incremental scan) is validated micro-batch by micro-batch with the SAME
 planner + bundled-agg runner the batch path uses — ``foreachBatch`` hands us
 a plain DataFrame, so nothing is reimplemented. Each micro-batch appends:
 
-- EVR rows ``(run_id=query_id, partition_id=batch-<epoch>, expectation_type,
-  success, counts, observed_value)`` to ``evr_path`` — the
-  ``checkpoint.EVR_ROW_SCHEMA`` shape, mergeable with batch-checkpoint output;
+- EVR rows ``(run_id, partition_id=epoch-<n>, expectation_type, success,
+  counts, observed_value)`` to ``evr_path`` — the
+  ``checkpoint.EVR_ROW_SCHEMA`` shape, mergeable with batch-checkpoint
+  output; ``run_id`` is the caller-supplied name or a per-validator UUID
+  (Spark's query id is not known until ``start()``, after ``foreachBatch``
+  may already have fired);
 - optional violation rows via the runner's violations sink.
 
 Exactly-once bookkeeping rides on Spark's own streaming checkpoint
 (``checkpointLocation``): on restart, committed epochs are not re-offered to
-``foreachBatch``. EVR appends are idempotent per (query_id, epoch_id) —
-re-run epochs overwrite their own partition directory, so replays after a
-crash between write and commit don't double-count.
+``foreachBatch``. EVR appends are idempotent per (run_id, epoch_id) —
+re-run epochs overwrite their own ``run_id=…/epoch=…`` partition directory,
+so replays after a crash between write and commit don't double-count, and
+two queries sharing one ``evr_path`` never clobber each other's epochs.
 
 At scale: per-micro-batch aggregation is a narrow map-side pass over only
 the new files (file-source maxFilesPerTrigger) or the new snapshot (Iceberg
@@ -51,11 +55,18 @@ class StreamingValidator:
         evr_path: str,
         runner_kwargs: dict[str, Any] | None = None,
         on_result: Callable[[int, ExpectationSuiteValidationResult], None] | None = None,
+        run_id: str | None = None,
     ) -> None:
+        import uuid
+
         self.suite = suite
         self.evr_path = evr_path
         self.runner_kwargs = runner_kwargs or {}
         self.on_result = on_result
+        # a stable-per-validator id, fixed BEFORE start() (the Spark query id
+        # only exists after start, racing foreachBatch); callers wanting
+        # resume-stable identity pass an explicit run_id / query name
+        self.run_id = run_id or f"stream-{uuid.uuid4().hex[:12]}"
         self.results: list[tuple[int, ExpectationSuiteValidationResult]] = []
 
     # foreachBatch signature: (DataFrame, epoch_id)
@@ -68,7 +79,7 @@ class StreamingValidator:
             res = r.result or {}
             rows.append(
                 {
-                    "run_id": "stream",
+                    "run_id": self.run_id,
                     "partition_id": f"epoch={epoch_id}",
                     "expectation_type": r.expectation_config.get("expectation_type"),
                     "expectation_id": r.expectation_config.get("id"),
@@ -81,15 +92,16 @@ class StreamingValidator:
                     ),
                 }
             )
-        # dynamic partition overwrite of THIS epoch's directory only →
-        # idempotent under foreachBatch replay
+        # dynamic partition overwrite of THIS query's THIS epoch's directory
+        # only (run_id=…/epoch=…) → idempotent under foreachBatch replay and
+        # clobber-free across queries sharing one evr_path
         (
             spark.createDataFrame(rows, EVR_ROW_SCHEMA)
             .withColumn("epoch", F.lit(int(epoch_id)))
             .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
+            .partitionBy("run_id", "epoch")
             .parquet(self.evr_path)
         )
         self.results.append((int(epoch_id), result))
@@ -104,6 +116,7 @@ def validate_stream(
     checkpoint_location: str,
     runner_kwargs: dict[str, Any] | None = None,
     available_now: bool = True,
+    run_id: str | None = None,
 ):
     """Attach suite validation to a streaming DataFrame.
 
@@ -112,7 +125,7 @@ def validate_stream(
     batch-append pattern. Pass ``available_now=False`` for a continuous
     micro-batch trigger.
     """
-    validator = StreamingValidator(suite, evr_path, runner_kwargs)
+    validator = StreamingValidator(suite, evr_path, runner_kwargs, run_id=run_id)
     writer = (
         stream_df.writeStream.foreachBatch(validator)
         .option("checkpointLocation", checkpoint_location)

@@ -116,9 +116,19 @@ class ExpectationSuite:
     def suite_hash(self) -> str:
         """Deterministic hash of the full suite — used by the checkpoint
         manifest (FIXTURES.md F6 ``suite_hash``) so resumed runs only reuse
-        partitions validated under the *same* suite."""
+        partitions validated under the *same* suite.
+
+        The derived ``id`` is EXCLUDED from the payload: it is itself an md5
+        of (expectation_type, kwargs) already present, and including it would
+        change the hash on serialization-format changes — silently
+        invalidating every existing checkpoint manifest on upgrade."""
         payload = json.dumps(
-            [e.to_dict() for e in self.expectations], sort_keys=True, default=str
+            [
+                {k: v for k, v in e.to_dict().items() if k != "id"}
+                for e in self.expectations
+            ],
+            sort_keys=True,
+            default=str,
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

@@ -1,0 +1,132 @@
+"""Round-2 guard tests: the scale footguns found by the round-1 review.
+
+- COMPLETE result format degrades (never collects) past max_complete_rows;
+- two histogram/KL expectations with identical endpoints but different
+  interior edges must not collide in the domain-group bundle;
+- suite_hash excludes the derived expectation id (manifest stability);
+- duplicate_clusters iterative lineage stays flat (localCheckpoint each
+  round — plan depth must not grow with max_iter).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark import ExpectationSuite, SuiteRunner
+
+
+def test_complete_degrades_past_max_complete_rows(spark):
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 10)
+    suite = ExpectationSuite("s")
+    suite.add(
+        "expect_column_values_to_be_between",
+        column="v",
+        min_value=0,
+        max_value=4,
+        result_format={"result_format": "COMPLETE"},
+    )
+    res = SuiteRunner(spark, max_complete_rows=100).validate(df, suite)
+    r = res.results[0].result
+    assert r["unexpected_count"] == 500
+    # full list skipped, partial content retained, truncation recorded
+    assert "unexpected_list" not in r or r["unexpected_list"] is None
+    assert r["partial_unexpected_list"]
+    assert r["details"]["complete_truncated"]["max_complete_rows"] == 100
+
+    # guard off (None) or above the count → full list present
+    res2 = SuiteRunner(spark, max_complete_rows=None).validate(df, suite)
+    assert len(res2.results[0].result["unexpected_list"]) == 500
+
+
+def test_histograms_same_endpoints_different_edges_dont_collide(spark):
+    """uniform vs skewed interior edges over the same column/range: both KL
+    expectations must see THEIR OWN bucket counts (round-1 alias collision
+    overwrote one bundle expr with the other)."""
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+    uniform = {
+        "bins": [0.0, 25.0, 50.0, 75.0, 100.0],
+        "weights": [0.25, 0.25, 0.25, 0.25],
+    }
+    skewed = {
+        "bins": [0.0, 10.0, 20.0, 30.0, 100.0],
+        "weights": [0.40, 0.30, 0.20, 0.10],
+    }
+    suite = ExpectationSuite("kl2")
+    suite.add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="x", partition_object=uniform, threshold=0.01,
+    )
+    suite.add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="x", partition_object=skewed, threshold=0.01,
+    )
+    res = SuiteRunner(spark).validate(df, suite)
+    kl_uniform = res.results[0].result["observed_value"]
+    kl_skewed = res.results[1].result["observed_value"]
+    # uniform data on [0,100): observed fractions per skewed bins are
+    # (0.1, 0.1, 0.1, 0.7) → KL vs (0.4, 0.3, 0.2, 0.1) = 1.0443…; a
+    # collision feeding the uniform histogram's counts would yield 0.1217
+    assert kl_uniform < 1e-9, (kl_uniform, kl_skewed)
+    assert kl_skewed == pytest.approx(1.0443, abs=0.01), (kl_uniform, kl_skewed)
+
+
+def test_suite_hash_excludes_derived_id():
+    s = ExpectationSuite("h")
+    cfg = s.add("expect_column_values_to_not_be_null", column="a")
+    h1 = s.suite_hash
+    # simulate a round-trip through a manifest written before to_dict()
+    # carried 'id': same expectations → same hash regardless of the field
+    s2 = ExpectationSuite("h")
+    s2.add("expect_column_values_to_not_be_null", column="a")
+    assert h1 == s2.suite_hash
+    d = cfg.to_dict()
+    assert "id" in d  # still serialized for EVR linkage
+
+
+def test_duplicate_clusters_plan_depth_constant(spark):
+    """localCheckpoint each round: the returned labels plan must not embed
+    the full k-round join lineage (round-1 bug re-executed an
+    exponentially deepening DAG)."""
+    from great_expectations_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    labels = duplicate_clusters(pairs, max_iter=6)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    # a checkpointed frame plans as a scan over the materialized RDD —
+    # no joins from the iteration remain in the lineage
+    assert "Join" not in plan, plan
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in labels.collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_checkpoint_concurrent_violations_partitioned(spark, tmp_path):
+    """Concurrent partitions write violations under distinct
+    partition_id=… roots; the union read sees every partition's rows."""
+    from great_expectations_spark.checkpoint import Checkpoint
+
+    df = spark.createDataFrame(
+        [(p, i, -1 if i % 3 == 0 else 1) for p in ("a", "b", "c", "d") for i in range(30)],
+        "part string, idx int, v int",
+    )
+    suite = ExpectationSuite("cc")
+    suite.add("expect_column_values_to_be_between", column="v", min_value=0, max_value=9)
+    vio = str(tmp_path / "violations")
+    cp = Checkpoint(
+        spark,
+        manifest_path=str(tmp_path / "manifest"),
+        evr_path=str(tmp_path / "evrs"),
+        violations_path=vio,
+        unexpected_index_column_names=["part", "idx"],
+    )
+    out = cp.run(df, suite, partition_col="part", run_id="r1",
+                 max_concurrent_partitions=4)
+    assert all(r.status == "validated" for r in out.records)
+    got = spark.read.parquet(vio)
+    assert got.select("partition_id").distinct().count() == 4
+    assert got.count() == 4 * 10

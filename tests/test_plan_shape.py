@@ -87,3 +87,59 @@ def test_map_counters_stay_in_codegen(spark, tpath):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     # map-side partial aggregation (combine before shuffle) must be present
     assert "partial_sum" in plan, plan
+
+
+def test_ivf_build_has_no_global_window(spark):
+    """Round-2 fix: the IVF centroid sample must plan as
+    TakeOrderedAndProject (executor-local top-k heaps), never a
+    row_number window over a single-partition global sort; the
+    assignment pass must be a shuffle-free projection (no Exchange, no
+    Window) over the corpus."""
+    import random
+
+    from great_expectations_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    centroids, assigned = S.build_ivf_index(
+        corpus, "vec_id", "embedding", n_centroids=8
+    )
+    plan = _plan(assigned)
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert centroids.count() == 8
+    # every corpus row assigned exactly once, centroid ids in range
+    a = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("centroid_id").alias("lo"),
+        F.max("centroid_id").alias("hi"),
+    ).collect()[0]
+    assert a["n"] == 200 and 1 <= a["lo"] and a["hi"] <= 8
+
+
+def test_exist_in_default_lets_aqe_decide(spark, tpath):
+    """exist_in no longer force-broadcasts the dim: with no kwarg the plan
+    carries no mandatory broadcast hint (AQE decides); broadcast=True
+    forces it; broadcast=False forbids it (sort-merge)."""
+    from great_expectations_spark.registry import compile_expectation
+    from great_expectations_spark.schema import generate_tools_dim
+    from great_expectations_spark.suite import ExpectationConfiguration
+
+    df = spark.read.parquet(tpath)
+    dim = generate_tools_dim(spark)
+    tables = {"tools": dim}
+
+    def viol_plan(**extra):
+        cfg = ExpectationConfiguration(
+            expectation_type="expect_column_values_to_exist_in",
+            kwargs={"column": "tool", "other_table": "tools",
+                    "other_column": "tool_name", **extra},
+        )
+        cr = compile_expectation(cfg)
+        return _plan(cr.violations(df, tables))
+
+    assert "BroadcastHashJoin" in viol_plan(broadcast=True)
+    forbidden = viol_plan(broadcast=False)
+    assert "SortMergeJoin" in forbidden or "ShuffledHashJoin" in forbidden, forbidden
