@@ -291,13 +291,36 @@ def dateutil_parseable(column: str, **_: Any) -> MapCondition:
     return MapCondition([column], _nonnull_domain(column), _parseable(c), c)
 
 
-def json_parseable(column: str, **_: Any) -> MapCondition:
-    """Reference used a per-row ``json.loads`` UDF; ours is the native
-    ``try_parse_json`` (variant) — JVM-side."""
+def json_parseable(column: str, strict: bool = True, **_: Any) -> MapCondition:
+    """Reference semantics are Python ``json.loads`` — which REJECTS
+    trailing garbage (``'{"k":1}{'`` fails). Spark's native
+    ``try_parse_json`` accepts a valid prefix and ignores the rest, so the
+    default ``strict=True`` uses an Arrow pandas UDF with ``json.loads``
+    for exact reference parity; ``strict=False`` opts into the JVM-side
+    variant parse (faster, prefix-lenient)."""
     c = _col(column)
-    return MapCondition(
-        [column], _nonnull_domain(column), F.try_parse_json(c).isNotNull(), c
-    )
+    if not strict:
+        return MapCondition(
+            [column], _nonnull_domain(column), F.try_parse_json(c).isNotNull(), c
+        )
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def _parseable(s: pd.Series) -> pd.Series:
+        import json
+
+        def ok(v: Any) -> bool:
+            if v is None:
+                return False
+            try:
+                json.loads(v)
+                return True
+            except (ValueError, TypeError):
+                return False
+
+        return s.map(ok)
+
+    return MapCondition([column], _nonnull_domain(column), _parseable(c), c)
 
 
 def _make_json_schema_validator(schema: dict[str, Any]):

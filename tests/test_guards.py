@@ -130,3 +130,21 @@ def test_checkpoint_concurrent_violations_partitioned(spark, tmp_path):
     got = spark.read.parquet(vio)
     assert got.select("partition_id").distinct().count() == 4
     assert got.count() == 4 * 10
+
+
+def test_json_parseable_strict_rejects_trailing_garbage(spark):
+    """Reference json.loads parity: a valid JSON prefix followed by garbage
+    must FAIL strict parsing (Spark's native variant parse accepts it)."""
+    from great_expectations_spark.functions import conditions as C
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": 1}{',), ("[1, 2]",), ("nope",), (None,)],
+        "js string",
+    )
+    strict = C.json_parseable("js")
+    n_bad = df.select(strict.unexpected.alias("u")).filter("u").count()
+    assert n_bad == 2  # trailing-garbage + nope; null is out of domain
+    lenient = C.json_parseable("js", strict=False)
+    n_bad_lenient = df.select(lenient.unexpected.alias("u")).filter("u").count()
+    assert n_bad_lenient == 1  # native parse accepts the prefix
