@@ -639,6 +639,64 @@ def q_rowcount_vs_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rbp_mean_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-Based Profiler analog: per-batch mean(value) over 4 mod-split
+    batches of events → quantile range estimator (fpr=0.05). The estimator
+    uses numpy linear-interpolation quantiles == SQL quantile_cont, so the
+    whole multi-batch parameter-build path has a closed-form oracle
+    (rule_based_profiler.py::multi_batch_metrics / estimate_range)."""
+    from great_expectations_spark.rule_based_profiler import (
+        estimate_range,
+        multi_batch_metrics,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 5 == i) for i in range(4)]
+    _, rows = multi_batch_metrics(batches, columns=["value"])
+    est = estimate_range(
+        [r["value__mean"] for r in rows],
+        estimator="quantile", false_positive_rate=0.05,
+    )
+    return spark.createDataFrame(
+        [(round(est.lo, 6), round(est.hi, 6))], "lo double, hi double"
+    )
+
+
+def q_partition_auto_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`auto` partition strategy (FD ∨ Sturges from EXACT n/min/max/q25/q75
+    — profile.py::auto_bin_edges) + the bundled histogram over the chosen
+    uniform edges; per-bucket counts vs the same closed form in SQL."""
+    from great_expectations_spark.profile import (
+        build_continuous_partition_object,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    p = build_continuous_partition_object(ev, "value", bins="auto")
+    n_bins = len(p["weights"])
+    total = ev.filter(F.col("value").isNotNull()).count()
+    rows = [
+        (i, int(round(w * total)))
+        for i, w in enumerate(p["weights"])
+        if w > 0  # oracle GROUP BY emits only non-empty buckets
+    ]
+    return spark.createDataFrame(rows, "bucket long, cnt long").orderBy("bucket")
+
+
+def q_table_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.head metric with stable ordering (profile.py::table_head —
+    TakeOrderedAndProject, no global sort)."""
+    from great_expectations_spark.profile import table_head
+
+    li = _load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    # full column list participates in the ordering for a deterministic head
+    return table_head(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        n=5,
+        order_by=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_not_null": q_map_not_null,
@@ -680,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_extras": q_agg_extras,
         "most_common_value": q_most_common_value,
         "rowcount_vs_other": q_rowcount_vs_other,
+        "rbp_mean_bounds": q_rbp_mean_bounds,
+        "partition_auto_hist": q_partition_auto_hist,
+        "table_head": q_table_head,
     }
 
 
@@ -912,6 +973,31 @@ def oracle_sql() -> dict[str, str]:
         "rowcount_vs_other": (
             "SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rc_self, "
             "(SELECT CAST(count(*) AS BIGINT) FROM customer) AS rc_other"
+        ),
+        "rbp_mean_bounds": (
+            "WITH pb AS (SELECT event_id % 5 AS g, avg(value) AS m "
+            "FROM events WHERE event_id % 5 < 4 GROUP BY 1) "
+            "SELECT round(quantile_cont(m, 0.025), 6) AS lo, "
+            "round(quantile_cont(m, 0.975), 6) AS hi FROM pb"
+        ),
+        "partition_auto_hist": (
+            "WITH s AS (SELECT count(value) AS n, min(value) AS lo, "
+            "max(value) AS hi, quantile_cont(value, 0.25) AS q25, "
+            "quantile_cont(value, 0.75) AS q75 FROM events), "
+            "p AS (SELECT n, lo, hi, CASE WHEN (q75 - q25) > 0 THEN "
+            "least(2.0*(q75-q25)/pow(n, 1.0/3.0), "
+            "(hi-lo)/ceil(ln(n)/ln(2)+1.0)) ELSE "
+            "(hi-lo)/ceil(ln(n)/ln(2)+1.0) END AS width FROM s), "
+            "b AS (SELECT lo, hi, CAST(greatest(1, ceil((hi-lo)/width)) "
+            "AS BIGINT) AS nb FROM p) "
+            "SELECT CAST(least(CAST(floor((e.value - b.lo)/"
+            "((b.hi-b.lo)/b.nb)) AS BIGINT), b.nb-1) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM events e, b "
+            "WHERE e.value IS NOT NULL GROUP BY 1 ORDER BY bucket"
+        ),
+        "table_head": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 5"
         ),
         # minhash_pairs / simhash_pairs: xxhash64-based signatures are not
         # reproducible in DuckDB SQL → rows-only driver check (by design).

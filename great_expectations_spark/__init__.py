@@ -36,9 +36,11 @@ from great_expectations_spark.result import (
 )
 from great_expectations_spark.runner import SuiteRunner, validate
 from great_expectations_spark.profiler import profile_suite
+from great_expectations_spark.rule_based_profiler import RuleBasedProfiler
 
 __all__ = [
     "profile_suite",
+    "RuleBasedProfiler",
     "bind_evaluation_parameters",
     "ExpectationConfiguration",
     "ExpectationSuite",

@@ -91,18 +91,51 @@ def build_categorical_partition_object(
     }
 
 
+def auto_bin_edges(
+    n: int, lo: float, hi: float, q25: float, q75: float
+) -> list[float]:
+    """numpy ``histogram_bin_edges(bins="auto")`` semantics — max of the
+    Freedman–Diaconis and Sturges estimators — computed from EXACT scalar
+    stats instead of a materialized array, so the edge choice is (a) one
+    bundled Spark agg over the full column, no driver-side sample, and
+    (b) closed-form replicable in SQL for the driver's oracle check."""
+    if n <= 0 or lo is None or hi is None or hi <= lo:
+        return [0.0, 1.0] if lo is None else [float(lo), float(lo) + 1.0]
+    iqr = max(0.0, q75 - q25)
+    fd_width = 2.0 * iqr / (n ** (1.0 / 3.0)) if iqr > 0 else 0.0
+    sturges_bins = int(math.ceil(math.log2(n) + 1.0))
+    sturges_width = (hi - lo) / sturges_bins
+    # numpy auto = the smaller bin WIDTH of (fd, sturges) = more bins
+    width = min(fd_width, sturges_width) if fd_width > 0 else sturges_width
+    n_bins = max(1, int(math.ceil((hi - lo) / width)))
+    return list(np.linspace(lo, hi, n_bins + 1))
+
+
 def build_continuous_partition_object(
     df: DataFrame,
     column: str,
     bins: str = "uniform",
     n_bins: int = 10,
     allow_relative_error: float = 0.001,
+    kde_sample_limit: int = 10_000,
+    seed: int = 42,
 ) -> dict[str, Any]:
     """Baseline continuous profile (reference: column.partition metric,
-    ``column_partition.py`` — ``uniform`` linspace over min/max or ``ntile``
-    via approximate quantiles).
+    ``column_partition.py`` / ``dataset/util.py`` partition builders).
 
-    One bundled agg job for the edges, one for the bucket weights.
+    Strategies:
+    - ``uniform``: linspace over exact min/max (one bundled agg).
+    - ``ntile``: approximate quantile edges (one bundled agg).
+    - ``auto``: Freedman–Diaconis ∨ Sturges bin count from EXACT
+      n/min/max/q25/q75 — one bundled agg, SQL-replicable (no sample).
+    - ``kde``: gaussian-KDE-smoothed partition (reference
+      ``kde_partition_data`` used scipy.stats.gaussian_kde; scipy is not in
+      this sandbox, so the scott-bandwidth gaussian-mixture CDF is computed
+      directly with numpy+erf on a seeded driver-side sample of
+      ``kde_sample_limit`` rows — exact for inputs under the limit).
+
+    One bundled agg job for the edges, one for the bucket weights
+    (``kde`` weights come from the mixture CDF, not a second scan).
     """
     c = F.col(column).cast("double")
     if bins == "uniform":
@@ -122,8 +155,26 @@ def build_continuous_partition_object(
         edges = sorted(set(float(x) for x in row["e"]))
         if len(edges) < 2:
             edges = [edges[0], edges[0] + 1.0] if edges else [0.0, 1.0]
+    elif bins == "auto":
+        row = df.agg(
+            F.count(c).alias("n"),
+            F.min(c).alias("lo"),
+            F.max(c).alias("hi"),
+            F.percentile(c, F.lit(0.25)).alias("q25"),
+            F.percentile(c, F.lit(0.75)).alias("q75"),
+        ).collect()[0]
+        if row["lo"] is None:
+            return {"bins": [0.0, 1.0], "weights": [0.0], "tail_weights": [0.5, 0.5]}
+        edges = auto_bin_edges(
+            int(row["n"]), float(row["lo"]), float(row["hi"]),
+            float(row["q25"]), float(row["q75"]),
+        )
+    elif bins == "kde":
+        return _kde_partition_object(df, column, kde_sample_limit, seed)
     else:
-        raise ValueError(f"unsupported bins strategy {bins!r} (uniform|ntile)")
+        raise ValueError(
+            f"unsupported bins strategy {bins!r} (uniform|ntile|auto|kde)"
+        )
 
     hist = histogram_metric(column, edges)
     values = df.agg(*[e.alias(a) for a, e in hist.exprs.items()]).collect()[0].asDict()
@@ -136,10 +187,81 @@ def build_continuous_partition_object(
     }
 
 
+def _kde_partition_object(
+    df: DataFrame, column: str, sample_limit: int, seed: int
+) -> dict[str, Any]:
+    """Gaussian-KDE partition (reference ``dataset/util.py::
+    kde_partition_data``): scott-factor bandwidth, edges spanning
+    [min − h·σ, max + h·σ] with ⌊√n⌋+1 points, weights = mixture-CDF
+    differences, tail_weights = mass outside the edge range.
+
+    Data reaches the driver through a seeded uniform sample capped at
+    ``sample_limit`` (inputs under the limit are used exactly); KDE over a
+    bounded sample is the standard estimator trade — the profile is a
+    baseline, not a per-row verdict.
+    """
+    base = df.select(F.col(column).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    n_total = base.count()
+    if n_total == 0:
+        return {"bins": [0.0, 1.0], "weights": [0.0], "tail_weights": [0.5, 0.5]}
+    if n_total > sample_limit:
+        frac = min(1.0, (sample_limit * 1.2) / n_total)
+        base = base.sample(withReplacement=False, fraction=frac, seed=seed)
+    data = np.array(
+        [r["__v"] for r in base.limit(sample_limit).collect()], dtype=float
+    )
+    n = data.size
+    std = float(data.std(ddof=1)) if n > 1 else 0.0
+    if std == 0.0:
+        lo = float(data.min())
+        return {"bins": [lo - 0.5, lo + 0.5], "weights": [1.0],
+                "tail_weights": [0.0, 0.0]}
+    factor = n ** (-1.0 / 5.0)  # scott (gaussian_kde default)
+    h = factor * std
+    n_edges = int(math.floor(math.sqrt(n))) + 1
+    edges = np.linspace(data.min() - h, data.max() + h, max(2, n_edges))
+
+    # mixture CDF at each edge: mean over points of Φ((e - x_i)/h)
+    from math import erf, sqrt
+
+    z = (edges[:, None] - data[None, :]) / (h * sqrt(2.0))
+    cdf = 0.5 * (1.0 + np.vectorize(erf)(z)).mean(axis=1)
+    weights = np.diff(cdf)
+    return {
+        "bins": [float(e) for e in edges],
+        "weights": [float(w) for w in weights],
+        "tail_weights": [float(cdf[0]), float(1.0 - cdf[-1])],
+    }
+
+
 def histogram_metric(column: str, bins: list[float]) -> AggMetric:
     from great_expectations_spark.functions.aggregates import histogram
 
     return histogram(column, bins)
+
+
+# ---------------------------------------------------------------------------
+# head previews (reference: table.head / column.head metrics)
+# ---------------------------------------------------------------------------
+
+def table_head(
+    df: DataFrame, n: int = 5, order_by: list[str] | None = None
+) -> DataFrame:
+    """First ``n`` rows. With ``order_by`` Spark plans TakeOrderedAndProject
+    (executor-local heaps — no global sort); without it, CollectLimit grabs
+    the first partitions' rows (fast, order-arbitrary — reference
+    ``table.head`` semantics)."""
+    return df.orderBy(*order_by).limit(n) if order_by else df.limit(n)
+
+
+def column_head(
+    df: DataFrame, column: str, n: int = 5, order_by: list[str] | None = None
+) -> DataFrame:
+    """First ``n`` values of one column (column-pruned scan)."""
+    keep = [column] + [c for c in (order_by or []) if c != column]
+    return table_head(df.select(*keep), n, order_by).select(column)
 
 
 # ---------------------------------------------------------------------------

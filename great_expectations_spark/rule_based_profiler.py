@@ -1,0 +1,275 @@
+"""Rule-Based Profiler analog — multi-batch parameter estimation → suite.
+
+Reference: the fork's ``rule_based_profiler/`` subsystem (≈8k LoC upstream,
+unverified — SURVEY.md §0/§3): rules pair a *domain builder* (which columns)
+with *parameter builders* (estimate expectation kwargs from metrics computed
+over MANY batches) and emit an ExpectationSuite whose bounds reflect
+batch-to-batch variation instead of a single batch's point values — the
+``NumericMetricRangeMultiBatchParameterBuilder`` with its ``exact`` /
+``quantile`` / ``bootstrap`` estimators is the core of it.
+
+Spark-first shape: the reference resolves a metric graph PER BATCH (k × many
+small jobs). Ours computes every per-batch metric for every profiled column
+in **ONE Spark job**: batches are tagged with a literal ``__batch_id``,
+union'd, and aggregated with ``groupBy("__batch_id")`` — one shuffle of
+k × (a few hundred bytes) partial rows regardless of batch sizes. Estimator
+math (quantile / bootstrap over the k per-batch values) is numpy on k-length
+vectors, driver-side by construction.
+
+At 100 TB the union is still one pass: each batch contributes its own scan
+tasks, the groupBy keys are the k batch ids (tiny, uniform), and partial
+aggregation means nothing but the k × metrics matrix crosses the wire.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from great_expectations_spark.suite import ExpectationSuite
+
+_NUMERIC = (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+@dataclass
+class RangeEstimate:
+    """One estimated [lo, hi] parameter range + the per-batch samples."""
+
+    lo: float
+    hi: float
+    samples: list[float] = field(default_factory=list)
+
+
+def estimate_range(
+    values: list[float],
+    estimator: str = "quantile",
+    false_positive_rate: float = 0.05,
+    n_resamples: int = 999,
+    seed: int = 42,
+) -> RangeEstimate:
+    """[lo, hi] from k per-batch metric values.
+
+    - ``exact``: [min, max] of the observed batch values.
+    - ``quantile``: [q(fpr/2), q(1-fpr/2)] with linear interpolation
+      (numpy default — matches SQL ``quantile_cont``, so driver queries can
+      oracle-check this path).
+    - ``bootstrap``: seeded resampling of the k values; the range is the
+      [fpr/2, 1-fpr/2] quantiles of the bootstrap-resample means
+      (reference bootstrap estimator semantics, numpy implementation).
+    """
+    v = np.asarray([x for x in values if x is not None], dtype=float)
+    if v.size == 0:
+        raise ValueError("no metric samples to estimate from")
+    if estimator == "exact":
+        return RangeEstimate(float(v.min()), float(v.max()), v.tolist())
+    a = false_positive_rate / 2.0
+    if estimator == "quantile":
+        lo, hi = np.quantile(v, [a, 1.0 - a])
+        return RangeEstimate(float(lo), float(hi), v.tolist())
+    if estimator == "bootstrap":
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, v.size, size=(n_resamples, v.size))
+        means = v[idx].mean(axis=1)
+        lo, hi = np.quantile(means, [a, 1.0 - a])
+        return RangeEstimate(float(lo), float(hi), v.tolist())
+    raise ValueError(f"unknown estimator {estimator!r} (exact|quantile|bootstrap)")
+
+
+def multi_batch_metrics(
+    batches: list[DataFrame], columns: list[str] | None = None
+) -> tuple[list[str], list[dict[str, Any]]]:
+    """Per-batch metric rows in ONE Spark job.
+
+    Returns (profiled_columns, rows) where rows[i] is batch i's metric dict:
+    ``n`` plus, per numeric column c, ``{c}__nn/min/max/mean/stddev/median``
+    and per non-numeric column, ``{c}__nn/approx_distinct``.
+    """
+    if not batches:
+        raise ValueError("need at least one batch")
+    schema = {f.name: f.dataType for f in batches[0].schema.fields}
+    cols = columns or list(schema)
+    unknown = [c for c in cols if c not in schema]
+    if unknown:
+        raise ValueError(f"profile columns not in schema: {unknown}")
+
+    tagged = [
+        b.select(*[F.col(c) for c in cols]).withColumn(
+            "__batch_id", F.lit(i)
+        )
+        for i, b in enumerate(batches)
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), tagged)
+
+    exprs: list[F.Column] = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        col = F.col(c)
+        exprs.append(F.count(col).alias(f"{c}__nn"))
+        if isinstance(schema[c], _NUMERIC):
+            d = col.cast("double")
+            exprs.append(F.min(d).alias(f"{c}__min"))
+            exprs.append(F.max(d).alias(f"{c}__max"))
+            exprs.append(F.mean(d).alias(f"{c}__mean"))
+            exprs.append(F.stddev_samp(d).alias(f"{c}__stddev"))
+            exprs.append(
+                F.percentile_approx(d, 0.5, 1000).alias(f"{c}__median")
+            )
+        else:
+            exprs.append(
+                F.approx_count_distinct(col, 0.005).alias(f"{c}__approx_distinct")
+            )
+    rows = (
+        union.groupBy("__batch_id")
+        .agg(*exprs)
+        .orderBy("__batch_id")
+        .collect()
+    )
+    return cols, [r.asDict() for r in rows]
+
+
+class RuleBasedProfiler:
+    """Estimate a suite from k batches.
+
+    Parameters
+    ----------
+    estimator / false_positive_rate / n_resamples / seed: forwarded to
+        :func:`estimate_range` for every numeric parameter.
+    value_set_columns: low-cardinality columns whose batch-wise value-set
+        UNION becomes an ``expect_column_values_to_be_in_set`` (computed in
+        one extra grouped job over the union, bounded by
+        ``max_value_set_size``).
+    round_decimals: round emitted numeric bounds (reference
+        ``round_decimals`` parameter-builder knob); None keeps full floats.
+    """
+
+    def __init__(
+        self,
+        estimator: str = "quantile",
+        false_positive_rate: float = 0.05,
+        n_resamples: int = 999,
+        seed: int = 42,
+        value_set_columns: list[str] | None = None,
+        max_value_set_size: int = 1000,
+        round_decimals: int | None = 6,
+    ) -> None:
+        self.estimator = estimator
+        self.false_positive_rate = false_positive_rate
+        self.n_resamples = n_resamples
+        self.seed = seed
+        self.value_set_columns = value_set_columns or []
+        self.max_value_set_size = max_value_set_size
+        self.round_decimals = round_decimals
+
+    def _rng(self, values: list[float]) -> RangeEstimate:
+        return estimate_range(
+            values,
+            estimator=self.estimator,
+            false_positive_rate=self.false_positive_rate,
+            n_resamples=self.n_resamples,
+            seed=self.seed,
+        )
+
+    def _round_lo(self, x: float) -> float:
+        """Round OUTWARD (floor) — a rounded-up lower bound can exclude the
+        very value it was estimated from."""
+        if self.round_decimals is None:
+            return float(x)
+        s = 10 ** self.round_decimals
+        return math.floor(float(x) * s) / s
+
+    def _round_hi(self, x: float) -> float:
+        if self.round_decimals is None:
+            return float(x)
+        s = 10 ** self.round_decimals
+        return math.ceil(float(x) * s) / s
+
+    def profile(
+        self,
+        batches: list[DataFrame],
+        name: str = "rule-based-profiled",
+        columns: list[str] | None = None,
+    ) -> ExpectationSuite:
+        cols, rows = multi_batch_metrics(batches, columns)
+        schema = {f.name: f.dataType for f in batches[0].schema.fields}
+        k = len(rows)
+
+        suite = ExpectationSuite(
+            name,
+            meta={
+                "profiler": "RuleBasedProfiler",
+                "n_batches": k,
+                "estimator": self.estimator,
+                "false_positive_rate": self.false_positive_rate,
+            },
+        )
+
+        # table-level: row count range across batches
+        rc = self._rng([r["n"] for r in rows])
+        suite.add(
+            "expect_table_row_count_to_be_between",
+            min_value=int(math.floor(rc.lo)),
+            max_value=int(math.ceil(rc.hi)),
+        )
+
+        for c in cols:
+            # not-null: worst observed batch ratio, floored to 2 decimals
+            ratios = [
+                (r[f"{c}__nn"] or 0) / r["n"] for r in rows if r["n"]
+            ]
+            worst = min(ratios) if ratios else 0.0
+            if worst >= 1.0:
+                suite.add("expect_column_values_to_not_be_null", column=c)
+            elif worst > 0:
+                suite.add(
+                    "expect_column_values_to_not_be_null",
+                    column=c,
+                    mostly=math.floor(worst * 100) / 100,
+                )
+
+            if isinstance(schema[c], _NUMERIC):
+                for metric, expectation in (
+                    ("mean", "expect_column_mean_to_be_between"),
+                    ("median", "expect_column_median_to_be_between"),
+                    ("stddev", "expect_column_stdev_to_be_between"),
+                    ("min", "expect_column_min_to_be_between"),
+                    ("max", "expect_column_max_to_be_between"),
+                ):
+                    vals = [r.get(f"{c}__{metric}") for r in rows]
+                    vals = [v for v in vals if v is not None]
+                    if not vals:
+                        continue
+                    est = self._rng(vals)
+                    suite.add(
+                        expectation,
+                        column=c,
+                        min_value=self._round_lo(est.lo),
+                        max_value=self._round_hi(est.hi),
+                        meta={"rule_based_profiler": {
+                            "metric": metric,
+                            "per_batch": [round(float(v), 9) for v in est.samples],
+                        }},
+                    )
+
+        # value-set rule: union of per-batch distinct sets, one grouped job
+        for c in self.value_set_columns:
+            tagged = [
+                b.filter(F.col(c).isNotNull()).select(c) for b in batches
+            ]
+            union = reduce(lambda a, b: a.unionByName(b), tagged)
+            vals = [
+                r[c]
+                for r in union.distinct().orderBy(c)
+                .limit(self.max_value_set_size + 1).collect()
+            ]
+            if len(vals) <= self.max_value_set_size:
+                suite.add(
+                    "expect_column_values_to_be_in_set",
+                    column=c,
+                    value_set=vals,
+                )
+        return suite

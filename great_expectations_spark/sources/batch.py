@@ -43,21 +43,32 @@ class BatchSpec:
     reader_method: str = "parquet"
     reader_options: dict[str, Any] = field(default_factory=dict)
     table: Optional[str] = None
+    jdbc: Optional[dict[str, Any]] = None
     splitter_method: Optional[str] = None
     splitter_kwargs: dict[str, Any] = field(default_factory=dict)
     sampling_method: Optional[str] = None
     sampling_kwargs: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        set_count = sum(x is not None for x in (self.dataframe, self.path, self.table))
+        set_count = sum(
+            x is not None
+            for x in (self.dataframe, self.path, self.table, self.jdbc)
+        )
         if set_count != 1:
             raise ValueError(
-                "BatchSpec needs exactly one of dataframe / path / table"
+                "BatchSpec needs exactly one of dataframe / path / table / jdbc"
             )
         if self.path is not None and self.reader_method not in _PATH_READERS:
             raise ValueError(
                 f"reader_method {self.reader_method!r} not in {_PATH_READERS}"
             )
+        if self.jdbc is not None:
+            if "url" not in self.jdbc or not (
+                "dbtable" in self.jdbc or "query" in self.jdbc
+            ):
+                raise ValueError(
+                    "jdbc spec needs 'url' and one of 'dbtable' / 'query'"
+                )
 
 
 def _resolve(module: Any, prefix: str, name: str) -> Callable[..., DataFrame]:
@@ -73,6 +84,14 @@ def read_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
         df = spec.dataframe
     elif spec.table is not None:
         df = spark.read.table(spec.table)
+    elif spec.jdbc is not None:
+        # SQL-table source (reference SqlAlchemy datasource analog).
+        # Filters/column pruning push into the remote database (JDBC source
+        # supports pushdown natively); parallel reads via the standard
+        # partitionColumn/lowerBound/upperBound/numPartitions options, which
+        # must be set for any large table — a single-partition JDBC scan
+        # serializes the whole extract through one task.
+        df = spark.read.format("jdbc").options(**spec.jdbc).load()
     else:
         reader = spark.read.options(**spec.reader_options)
         df = getattr(reader, spec.reader_method)(spec.path)
