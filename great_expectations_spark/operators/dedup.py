@@ -75,6 +75,21 @@ def exact_dedup(
 # shingles + MinHash
 # ---------------------------------------------------------------------------
 
+def _ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Spread a narrow input across the session's shuffle parallelism before
+    a compute-heavy projection (shingling × n_hashes is ~10⁴ hash evals per
+    doc). A small parquet table often arrives as ONE split, serializing the
+    whole pipeline through one task; the guard repartitions on the id — one
+    tiny shuffle of the raw rows — only when the input has fewer partitions
+    than the session target. At warehouse scale input splits exceed the
+    target, so this is a no-op exactly when the scan already parallelizes.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < min(target, 200):
+        return df.repartition(min(target, 200), F.col(key_col))
+    return df
+
+
 def _norm(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
@@ -165,7 +180,7 @@ def minhash_signatures(
     # equals min over its set, so duplicate shingles can't change minima.
     k = int(shingle_size)
     base = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(F.col(id_col), _norm(F.col(text_col)).alias("__t"))
     )
     if mode == "char":
@@ -232,32 +247,43 @@ def minhash_lsh_candidates(
     the fraction of equal signature components (the unbiased MinHash
     estimator). ``min_jaccard=None`` skips the estimate filter.
 
-    Plan shape: signatures (one scan, pure projection, **materialized
-    once** — the downstream banding/bucket/self-join consumes the signature
-    ~4×, and without a persist Catalyst's project collapsing would inline
-    and recompute the full n_hashes×|shingles| hash work each time) →
-    explode to ``bands`` rows/doc → shuffle on (band, band_hash) →
-    per-bucket self-join → signature compare. ``max_bucket_size`` drops
-    degenerate buckets before the quadratic step (skew guard, SURVEY.md
-    §4.3 spirit). At warehouse scale, write the signature table to storage
-    instead of caching (``persist=False`` + your own materialization).
+    Plan shape (round-2 rework — the band rows are SLIM):
+
+    1. signatures (one scan, **materialized once** — banding and the final
+       estimate both consume them; without a persist Catalyst's project
+       collapsing would inline and recompute the n_hashes×|shingles| hash
+       work each time);
+    2. banding explodes to ``bands`` rows/doc carrying ONLY
+       (id, band, band_hash) — round 1 shipped the full signature array
+       through every band row, multiplying the banding shuffle by
+       ~``bands × n_hashes × 8`` bytes/doc; the slim form is ~24 bytes/row
+       and is itself persisted (bucket-guard agg + both self-join branches
+       read it — three consumers, one materialization);
+    3. bucket-size guard drops degenerate buckets before the quadratic
+       self-join (skew guard, SURVEY.md §4.3 spirit);
+    4. per-bucket self-join on (band, band_hash) → candidate id pairs,
+       deduped — only then are the two signature arrays JOINED BACK by id
+       (candidates ≪ corpus, so the arrays cross the wire once per
+       candidate, not once per band row).
+
+    At warehouse scale, write the signature table to storage instead of
+    caching (``persist=False`` + your own materialization).
     """
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
     rows_per_band = n_hashes // bands
 
+    from pyspark.storagelevel import StorageLevel
+
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_size, mode
     )
     if persist:
-        from pyspark.storagelevel import StorageLevel
-
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col).alias("__id"),
-        F.col("signature"),
         F.explode(
             F.transform(
                 band_idx,
@@ -279,13 +305,15 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bk"),
-    ).select("__id", "signature", F.col("bk.band"), F.col("bk.band_hash"))
+    ).select("__id", F.col("bk.band"), F.col("bk.band_hash"))
+    if persist:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     # skew guard: drop buckets whose quadratic blow-up would dominate
     bucket_sizes = banded.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("__bsz")
     )
-    banded = banded.join(
+    guarded = banded.join(
         bucket_sizes.filter(F.col("__bsz") <= max_bucket_size).select(
             "band", "band_hash"
         ),
@@ -293,25 +321,22 @@ def minhash_lsh_candidates(
         how="left_semi",
     )
 
-    a = banded.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col("__id").alias("id_a"),
-        F.col("signature").alias("__sig_a"),
-    )
-    b = banded.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col("__id").alias("id_b"),
-        F.col("signature").alias("__sig_b"),
-    )
+    a = guarded.select("band", "band_hash", F.col("__id").alias("id_a"))
+    b = guarded.select("band", "band_hash", F.col("__id").alias("id_b"))
     pairs = (
         a.join(b, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # join the signatures back — candidates only
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
+    )
     est = (
         F.size(
             F.filter(
@@ -324,7 +349,11 @@ def minhash_lsh_candidates(
         / F.lit(float(n_hashes))
     ).alias("est_jaccard")
 
-    out = pairs.select("id_a", "id_b", est)
+    out = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", est)
+    )
     if min_jaccard is not None:
         out = out.filter(F.col("est_jaccard") >= min_jaccard)
     return out
@@ -425,7 +454,7 @@ def simhash_fingerprints(
     (the Column form gives them fingerprint 0)."""
     from functools import reduce
 
-    base = df.filter(F.col(text_col).isNotNull()).select(
+    base = _ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col), _norm(F.col(text_col)).alias("__t")
     )
     toks = (
@@ -606,7 +635,9 @@ def embedding_near_duplicates(
     tiny dims tables). Default: SRP-LSH bucket join (one shuffle on the
     signature), then exact cosine verification on candidates only.
     """
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    base = _ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
     if exact:
         a = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
         b = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))

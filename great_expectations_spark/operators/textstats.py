@@ -214,8 +214,10 @@ def kgram_fingerprint_rows(
     GenerateExec and the substring+hash+mod-p selection is whole-stage
     codegen. Same "0 mod p" selection and same min-hash fallback for docs
     that select nothing."""
+    from great_expectations_spark.operators.dedup import _ensure_parallelism
+
     base = (
-        df.filter(F.col(text_col).isNotNull())
+        _ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(
             F.col(id_col).alias("__id"),
             F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("__t"),
