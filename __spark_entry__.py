@@ -697,6 +697,19 @@ def q_table_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: 7 content-stably-chosen events per
+    event_type (sources/samplers.py::sample_stratified_exact — md5-hex
+    ranking is bit-identical across engines)."""
+    from great_expectations_spark.sources.samplers import (
+        sample_stratified_exact,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    s = sample_stratified_exact(ev, "event_type", 7, "event_id")
+    return s.select("event_type", "event_id").orderBy("event_type", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_not_null": q_map_not_null,
@@ -741,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbp_mean_bounds": q_rbp_mean_bounds,
         "partition_auto_hist": q_partition_auto_hist,
         "table_head": q_table_head,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -998,6 +1012,13 @@ def oracle_sql() -> dict[str, str]:
         "table_head": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 5"
+        ),
+        "stratified_sample": (
+            "SELECT event_type, event_id FROM ("
+            "SELECT event_type, event_id, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)),"
+            " event_id) AS rk FROM events WHERE event_type IS NOT NULL) "
+            "WHERE rk <= 7 ORDER BY event_type, event_id"
         ),
         # minhash_pairs / simhash_pairs: xxhash64-based signatures are not
         # reproducible in DuckDB SQL → rows-only driver check (by design).

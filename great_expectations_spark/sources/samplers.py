@@ -51,3 +51,47 @@ def sample_using_hash(
         F.substring(F.md5(F.col(column).cast("string")), 33 - n, n)
         == F.lit(str(hash_value))
     )
+
+
+def sample_using_stratified(
+    df: DataFrame,
+    strata_column: str,
+    fractions: dict[Any, float],
+    seed: int,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy`` — one pass, no
+    shuffle; each task coin-flips its own rows). Approximate row counts;
+    seed-deterministic for a fixed partition layout."""
+    if seed is None:
+        raise ValueError("sample_using_stratified requires an explicit seed")
+    return df.sampleBy(
+        strata_column, {k: float(v) for k, v in fractions.items()}, seed=int(seed)
+    )
+
+
+def sample_stratified_exact(
+    df: DataFrame,
+    strata_column: str,
+    n_per_stratum: int,
+    id_column: str,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum, chosen content-stably:
+    the rows with the smallest ``md5(id)`` hex within each stratum (window
+    ranked per stratum — the shuffle is keyed by the stratum column, so the
+    cost is one repartition). md5 hex is bit-identical across engines
+    (unlike Spark's xxhash64), so the selection is oracle-checkable and
+    resume-safe.
+
+    Skew note: a hot stratum concentrates its rows into one task for the
+    ranking; for pathologically hot strata prefer
+    :func:`sample_using_stratified` (no shuffle, approximate counts).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_column).cast("string"))
+    w = Window.partitionBy(strata_column).orderBy(h, F.col(id_column))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(n_per_stratum))
+        .drop("__rk")
+    )

@@ -195,3 +195,34 @@ def test_sample_using_hash_matches_hashlib(tdf):
 
 def test_sample_using_limit(tdf):
     assert samplers.sample_using_limit(tdf, 13).count() == 13
+
+
+def test_sample_using_stratified(tdf):
+    out = samplers.sample_using_stratified(
+        tdf, "conv_id", {"conv-0": 1.0, "conv-1": 0.0}, seed=11
+    )
+    got = {r.conv_id for r in out.select("conv_id").distinct().collect()}
+    assert got == {"conv-0"}  # fraction 1.0 keeps all, 0.0/absent drop all
+    assert out.count() == tdf.filter(F.col("conv_id") == "conv-0").count()
+    with pytest.raises(ValueError):
+        samplers.sample_using_stratified(tdf, "conv_id", {"conv-0": 1.0}, seed=None)
+
+
+def test_sample_stratified_exact(tdf):
+    """Exactly n per stratum; selection is content-stable (smallest md5 of
+    the id within the stratum) so re-runs and other engines agree."""
+    import hashlib
+
+    out = samplers.sample_stratified_exact(tdf, "conv_id", 3, "turn_idx")
+    rows = out.select("conv_id", "turn_idx").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.conv_id, []).append(r.turn_idx)
+    assert all(len(v) == 3 for v in per.values())
+    # replicate the md5 ranking for one stratum in pure python
+    stratum = sorted(
+        (r.turn_idx for r in tdf.filter(F.col("conv_id") == "conv-0")
+         .select("turn_idx").collect()),
+        key=lambda t: (hashlib.md5(str(t).encode()).hexdigest(), t),
+    )[:3]
+    assert sorted(per["conv-0"]) == sorted(stratum)
