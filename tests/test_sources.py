@@ -226,3 +226,60 @@ def test_sample_stratified_exact(tdf):
         key=lambda t: (hashlib.md5(str(t).encode()).hexdigest(), t),
     )[:3]
     assert sorted(per["conv-0"]) == sorted(stratum)
+
+
+# ------------------------------------------------------- filesystem connector
+
+def test_discover_filesystem_batches(spark, tmp_path):
+    """Path-regex batch discovery (DataConnector analog): capture groups
+    become batch_identifiers; filtering and stable ordering; discovered
+    batch loads through read_batch."""
+    from great_expectations_spark.sources.connectors import (
+        discover_filesystem_batches,
+    )
+    from great_expectations_spark.sources.batch import read_batch
+
+    base = tmp_path / "lake"
+    for ym, n in (("2024-01", 3), ("2024-02", 5), ("2025-01", 2)):
+        d = base / f"events_{ym}"
+        spark.range(n).coalesce(1).write.mode("overwrite").parquet(str(d))
+    # also a non-matching directory that must be ignored
+    (base / "README.txt").parent.mkdir(parents=True, exist_ok=True)
+    (base / "README.txt").write_text("not a batch")
+
+    defs = discover_filesystem_batches(
+        spark,
+        str(base),
+        regex=r"events_(\d{4})-(\d{2})/part-.*\.parquet$",
+        group_names=["year", "month"],
+        recursive=True,
+    )
+    ids = [d.batch_identifiers for d in defs]
+    assert ids == [
+        {"year": "2024", "month": "01"},
+        {"year": "2024", "month": "02"},
+        {"year": "2025", "month": "01"},
+    ]
+
+    only_2024 = discover_filesystem_batches(
+        spark, str(base),
+        regex=r"events_(\d{4})-(\d{2})/part-.*\.parquet$",
+        group_names=["year", "month"],
+        recursive=True,
+        batch_identifiers={"year": "2024"},
+    )
+    assert len(only_2024) == 2
+
+    df = read_batch(spark, only_2024[1].to_batch_spec("parquet"))
+    assert df.count() == 5
+
+
+def test_discover_filesystem_batches_group_mismatch(spark, tmp_path):
+    from great_expectations_spark.sources.connectors import (
+        discover_filesystem_batches,
+    )
+
+    with pytest.raises(ValueError):
+        discover_filesystem_batches(
+            spark, str(tmp_path), regex=r"(\d+)", group_names=["a", "b"]
+        )
