@@ -710,6 +710,51 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("event_type", "event_id").orderBy("event_type", "event_id")
 
 
+def q_token_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expect_column_token_counts_to_be_between through the full runner —
+    the dataset-curation length gate as a first-class expectation
+    (functions/conditions.py::token_counts_be_between)."""
+    from great_expectations_spark import ExpectationSuite, SuiteRunner
+
+    docs = _load(spark, sf_dir, "documents")
+    suite = ExpectationSuite("tok")
+    suite.add(
+        "expect_column_token_counts_to_be_between",
+        column="text", min_value=20, max_value=80, tokenizer="ws",
+    )
+    res = SuiteRunner(spark).validate(docs, suite)
+    uc = int(res.results[0].result["unexpected_count"])
+    return spark.createDataFrame([(uc,)], "unexpected_count long")
+
+
+def q_vector_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expect_column_vector_norms_to_be_between (Arrow numpy batch norms);
+    every 10th vector is deterministically scaled 2x so the gate has real
+    violations to count (functions/conditions.py::vector_norms_be_between)."""
+    from great_expectations_spark import ExpectationSuite, SuiteRunner
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 10 == 0,
+            F.transform("embedding", lambda x: x * F.lit(2.0)),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("vec"),
+    )
+    suite = ExpectationSuite("norm")
+    suite.add(
+        "expect_column_vector_norms_to_be_between",
+        column="vec", min_value=0.9, max_value=1.1,
+    )
+    res = SuiteRunner(spark).validate(emb, suite)
+    r = res.results[0].result
+    return spark.createDataFrame(
+        [(int(r["unexpected_count"]), int(r["element_count"]))],
+        "unexpected_count long, element_count long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_not_null": q_map_not_null,
@@ -755,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_auto_hist": q_partition_auto_hist,
         "table_head": q_table_head,
         "stratified_sample": q_stratified_sample,
+        "token_count_gate": q_token_count_gate,
+        "vector_norm_gate": q_vector_norm_gate,
     }
 
 
@@ -1019,6 +1066,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)),"
             " event_id) AS rk FROM events WHERE event_type IS NOT NULL) "
             "WHERE rk <= 7 ORDER BY event_type, event_id"
+        ),
+        "token_count_gate": (
+            "SELECT CAST(count(*) FILTER (WHERE NOT ("
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+            " x -> len(x) > 0)) BETWEEN 20 AND 80)) AS BIGINT)"
+            " AS unexpected_count FROM documents WHERE text IS NOT NULL"
+        ),
+        "vector_norm_gate": (
+            "WITH v AS (SELECT CASE WHEN vec_id % 10 = 0 THEN "
+            "list_transform(embedding, x -> x * 2.0) ELSE embedding END AS vec "
+            "FROM embeddings) "
+            "SELECT CAST(count(*) FILTER (WHERE NOT ("
+            "sqrt(list_dot_product(vec, vec)) BETWEEN 0.9 AND 1.1)) AS BIGINT)"
+            " AS unexpected_count, CAST(count(*) AS BIGINT) AS element_count "
+            "FROM v"
         ),
         # minhash_pairs / simhash_pairs: xxhash64-based signatures are not
         # reproducible in DuckDB SQL → rows-only driver check (by design).

@@ -407,6 +407,71 @@ def match_json_schema(column: str, json_schema: dict[str, Any], **_: Any) -> Map
     return MapCondition([column], _nonnull_domain(column), validator(c), c)
 
 
+# --- training-data pipeline conditions (extensions; operators/ tie-in) -----
+
+def token_counts_be_between(
+    column: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    tokenizer: str = "ws",
+    strict_min: bool = False,
+    strict_max: bool = False,
+    **_: Any,
+) -> MapCondition:
+    """Extension: per-document token count within bounds — the dataset-
+    curation gate ("drop docs shorter than N / longer than M tokens") as a
+    first-class expectation. Tokenizers from operators/textstats.py:
+    ``ws`` whitespace, ``bpe`` the BPE-ish regex segmentation. Pure
+    codegen expressions — no Python in the hot path."""
+    from great_expectations_spark.operators.textstats import (
+        token_count_bpe_ish,
+        token_count_ws,
+    )
+
+    c = _col(column)
+    if tokenizer == "ws":
+        n = token_count_ws(c)
+    elif tokenizer == "bpe":
+        n = token_count_bpe_ish(c)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (ws|bpe)")
+    cond = _between_expr(n, min_value, max_value, strict_min, strict_max)
+    return MapCondition([column], _nonnull_domain(column), cond, n)
+
+
+def vector_norms_be_between(
+    column: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    strict_min: bool = False,
+    strict_max: bool = False,
+    **_: Any,
+) -> MapCondition:
+    """Extension: L2 norm of an ``array<float/double>`` embedding column
+    within bounds — catches zero/degenerate/unnormalized vectors before
+    they poison similarity search. Arrow pandas UDF (numpy batch norms):
+    a per-element SQL HOF would be interpreted ~4µs/element, i.e.
+    dim×4µs per row; one BLAS pass per Arrow batch is ~100× cheaper."""
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _norm(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(v: Any) -> float | None:
+            if v is None:
+                return None
+            a = np.asarray(v, dtype=np.float64)
+            return float(np.sqrt((a * a).sum()))
+
+        return s.map(one)
+
+    c = _col(column)
+    n = _norm(c)
+    cond = _between_expr(n, min_value, max_value, strict_min, strict_max)
+    return MapCondition([column], _nonnull_domain(column), cond, n)
+
+
 # --- window-backed conditions ----------------------------------------------
 
 def increasing(

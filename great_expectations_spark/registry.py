@@ -149,6 +149,9 @@ _MAP_BUILDERS: dict[str, Callable[..., MapCondition]] = {
     "expect_column_pair_values_to_be_in_set": C.pair_in_set,
     "expect_multicolumn_sum_to_equal": C.multicolumn_sum_equal,
     "expect_select_column_values_to_be_unique_within_record": C.select_column_values_unique_within_record,
+    # extensions: training-data pipeline gates as first-class expectations
+    "expect_column_token_counts_to_be_between": C.token_counts_be_between,
+    "expect_column_vector_norms_to_be_between": C.vector_norms_be_between,
 }
 
 _MAP_NON_CONDITION_KWARGS = {

@@ -148,3 +148,29 @@ def test_json_parseable_strict_rejects_trailing_garbage(spark):
     lenient = C.json_parseable("js", strict=False)
     n_bad_lenient = df.select(lenient.unexpected.alias("u")).filter("u").count()
     assert n_bad_lenient == 1  # native parse accepts the prefix
+
+
+def test_token_count_and_vector_norm_expectations(spark):
+    """Pipeline-gate extensions registered as first-class expectations."""
+    docs = spark.createDataFrame(
+        [("one two three four five",), ("just two",), (None,)], "text string"
+    )
+    suite = ExpectationSuite("gates")
+    suite.add("expect_column_token_counts_to_be_between",
+              column="text", min_value=3, max_value=10)
+    res = SuiteRunner(spark).validate(docs, suite)
+    r = res.results[0].result
+    assert r["unexpected_count"] == 1 and r["missing_count"] == 1
+
+    vecs = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, [3.0, 4.0]), (3, None)],
+        "id long, v array<double>",
+    )
+    s2 = ExpectationSuite("norms")
+    s2.add("expect_column_vector_norms_to_be_between",
+           column="v", min_value=0.5, max_value=1.5)
+    res2 = SuiteRunner(spark).validate(vecs, s2)
+    r2 = res2.results[0].result
+    assert r2["unexpected_count"] == 1 and r2["missing_count"] == 1
+    # observed value for the violating row is the norm itself
+    assert res2.results[0].result["partial_unexpected_list"] == [5.0]
