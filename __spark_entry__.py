@@ -451,7 +451,8 @@ def q_map_strftime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_map_json_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json_parseable via native try_parse_json — every 5th row corrupted."""
+    """json_parseable (default strict json.loads Arrow UDF, matching the
+    oracle's json_valid) — every 5th row corrupted."""
     from great_expectations_spark.functions import conditions as C
 
     ev = _load(spark, sf_dir, "events").filter(F.col("props").isNotNull())

@@ -84,7 +84,11 @@ def _ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     than the session target. At warehouse scale input splits exceed the
     target, so this is a no-op exactly when the scan already parallelizes.
     """
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # value can be non-numeric (e.g. "auto" on managed platforms)
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min(target, 200):
         return df.repartition(min(target, 200), F.col(key_col))
     return df

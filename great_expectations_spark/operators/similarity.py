@@ -165,7 +165,7 @@ def build_ivf_index(
              assigned(centroid_id, id, vec)). Persist ``assigned`` (or write
     it bucketed by centroid_id) when serving repeated query batches.
     """
-    hashed = corpus.select(
+    hashed = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
         F.col(vec_col).alias("centroid_vec"),
     )
@@ -183,6 +183,14 @@ def build_ivf_index(
             ]
         ),
     )
+    if not k_rows:
+        # empty (or all-null-vector) corpus: empty index, empty assignment
+        assigned = corpus.select(
+            F.lit(None).cast("int").alias("centroid_id"),
+            F.col(id_col),
+            F.col(vec_col),
+        ).limit(0)
+        return centroids, assigned
     best = F.array_max(
         F.array(
             *[

@@ -195,10 +195,15 @@ def _kde_partition_object(
     [min − h·σ, max + h·σ] with ⌊√n⌋+1 points, weights = mixture-CDF
     differences, tail_weights = mass outside the edge range.
 
-    Data reaches the driver through a seeded uniform sample capped at
-    ``sample_limit`` (inputs under the limit are used exactly); KDE over a
-    bounded sample is the standard estimator trade — the profile is a
-    baseline, not a per-row verdict.
+    Data reaches the driver through a DETERMINISTIC pseudo-random subsample
+    capped at ``sample_limit`` (inputs under the limit are used exactly):
+    the ``sample_limit`` rows with the smallest ``xxhash64(value, seed)``.
+    The selected multiset depends only on the data and the seed — not on
+    partition layout or AQE decisions (``sample(fraction, seed)`` is
+    per-partition-seeded and ``limit`` keeps whichever partitions finish
+    first, so the round-1 form was NOT reproducible). Spark plans the
+    orderBy+limit as ``TakeOrderedAndProject`` — per-task heaps of
+    ``sample_limit`` rows, no global sort.
     """
     base = df.select(F.col(column).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -207,8 +212,9 @@ def _kde_partition_object(
     if n_total == 0:
         return {"bins": [0.0, 1.0], "weights": [0.0], "tail_weights": [0.5, 0.5]}
     if n_total > sample_limit:
-        frac = min(1.0, (sample_limit * 1.2) / n_total)
-        base = base.sample(withReplacement=False, fraction=frac, seed=seed)
+        base = base.orderBy(
+            F.xxhash64(F.col("__v"), F.lit(int(seed))), F.col("__v")
+        ).limit(sample_limit)
     data = np.array(
         [r["__v"] for r in base.limit(sample_limit).collect()], dtype=float
     )

@@ -107,29 +107,47 @@ def multi_batch_metrics(
     union = reduce(lambda a, b: a.unionByName(b), tagged)
 
     exprs: list[F.Column] = [F.count(F.lit(1)).alias("n")]
+    alias_names: list[str] = ["n"]
+
+    def _add(expr: F.Column, name: str) -> None:
+        exprs.append(expr.alias(name))
+        alias_names.append(name)
+
     for c in cols:
         col = F.col(c)
-        exprs.append(F.count(col).alias(f"{c}__nn"))
+        _add(F.count(col), f"{c}__nn")
         if isinstance(schema[c], _NUMERIC):
             d = col.cast("double")
-            exprs.append(F.min(d).alias(f"{c}__min"))
-            exprs.append(F.max(d).alias(f"{c}__max"))
-            exprs.append(F.mean(d).alias(f"{c}__mean"))
-            exprs.append(F.stddev_samp(d).alias(f"{c}__stddev"))
-            exprs.append(
-                F.percentile_approx(d, 0.5, 1000).alias(f"{c}__median")
-            )
+            _add(F.min(d), f"{c}__min")
+            _add(F.max(d), f"{c}__max")
+            _add(F.mean(d), f"{c}__mean")
+            _add(F.stddev_samp(d), f"{c}__stddev")
+            _add(F.percentile_approx(d, 0.5, 1000), f"{c}__median")
         else:
-            exprs.append(
-                F.approx_count_distinct(col, 0.005).alias(f"{c}__approx_distinct")
-            )
+            _add(F.approx_count_distinct(col, 0.005), f"{c}__approx_distinct")
     rows = (
         union.groupBy("__batch_id")
         .agg(*exprs)
         .orderBy("__batch_id")
         .collect()
     )
-    return cols, [r.asDict() for r in rows]
+    # groupBy emits no row for a zero-row batch; reindex by __batch_id so
+    # rows[i] is ALWAYS batch i (an empty batch contributes n=0, nn=0 and
+    # None metrics — it must reach the estimators, e.g. to drive the
+    # row-count floor down, not silently vanish).
+    by_id = {r["__batch_id"]: r.asDict() for r in rows}
+    out: list[dict[str, Any]] = []
+    for i in range(len(batches)):
+        if i in by_id:
+            out.append(by_id[i])
+        else:
+            d: dict[str, Any] = {a: None for a in alias_names}
+            d["__batch_id"] = i
+            d["n"] = 0
+            for c in cols:
+                d[f"{c}__nn"] = 0
+            out.append(d)
+    return cols, out
 
 
 class RuleBasedProfiler:
@@ -225,10 +243,12 @@ class RuleBasedProfiler:
             if worst >= 1.0:
                 suite.add("expect_column_values_to_not_be_null", column=c)
             elif worst > 0:
+                # floor to 2 decimals but clamp to ≥0.01 — mostly=0.0 would
+                # be a vacuous gate that passes even on an all-null batch
                 suite.add(
                     "expect_column_values_to_not_be_null",
                     column=c,
-                    mostly=math.floor(worst * 100) / 100,
+                    mostly=max(0.01, math.floor(worst * 100) / 100),
                 )
 
             if isinstance(schema[c], _NUMERIC):

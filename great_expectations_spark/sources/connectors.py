@@ -45,17 +45,27 @@ class FilesystemBatchDefinition:
         )
 
 
-def _hadoop_list_files(spark: SparkSession, base_dir: str, recursive: bool) -> list[str]:
+def _hadoop_list_files(
+    spark: SparkSession, base_dir: str, recursive: bool
+) -> tuple[str, list[str]]:
+    """Returns (qualified_base, file_paths).
+
+    ``qualified_base`` is ``base_dir`` as the filesystem itself renders it
+    (``fs.makeQualified``) — e.g. ``file:///x`` → ``file:/x``, bare
+    ``hdfs://nn`` gains its default port — so callers can derive relative
+    paths by prefix against the exact strings ``listFiles`` returns instead
+    of guessing at URI normalization."""
     jvm = spark._jvm
     sc = spark.sparkContext
     path = jvm.org.apache.hadoop.fs.Path(base_dir)
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    qualified = fs.makeQualified(path).toString()
     out: list[str] = []
     it = fs.listFiles(path, bool(recursive))
     while it.hasNext():
         status = it.next()
         out.append(status.getPath().toString())
-    return out
+    return qualified, out
 
 
 def discover_filesystem_batches(
@@ -81,10 +91,11 @@ def discover_filesystem_batches(
             f"regex has {pat.groups} capture groups but "
             f"{len(group_names)} group_names were given"
         )
-    base_norm = base_dir.rstrip("/") + "/"
+    qualified_base, files = _hadoop_list_files(spark, base_dir, recursive)
+    base_norm = qualified_base.rstrip("/") + "/"
     defs: list[FilesystemBatchDefinition] = []
-    for full in _hadoop_list_files(spark, base_dir, recursive):
-        rel = full.split(base_norm, 1)[1] if base_norm in full else full.rsplit("/", 1)[-1]
+    for full in files:
+        rel = full[len(base_norm):] if full.startswith(base_norm) else full.rsplit("/", 1)[-1]
         m = pat.search(rel)
         if not m:
             continue

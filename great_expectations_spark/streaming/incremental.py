@@ -68,10 +68,41 @@ class StreamingValidator:
         # resume-stable identity pass an explicit run_id / query name
         self.run_id = run_id or f"stream-{uuid.uuid4().hex[:12]}"
         self.results: list[tuple[int, ExpectationSuiteValidationResult]] = []
+        self._layout_checked = False
+
+    def _check_layout(self, spark) -> None:
+        """One-time guard: refuse to append the ``run_id=…/epoch=…`` layout
+        into a path already holding the pre-v2 ``epoch=…``-only layout
+        (run_id as a data column) — mixing them makes the whole EVR path
+        unreadable. Migrate by rewriting old files under
+        ``run_id=<their run_id>/epoch=<n>/`` or pointing at a fresh path."""
+        if self._layout_checked:
+            return
+        self._layout_checked = True
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(self.evr_path)
+            fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            if not fs.exists(p):
+                return
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if name.startswith("epoch="):
+                    raise ValueError(
+                        f"evr_path {self.evr_path!r} holds the old epoch-only "
+                        "partition layout; the v2 sink partitions by "
+                        "(run_id, epoch). Use a new path or migrate old files "
+                        "under run_id=<id>/epoch=<n>/ first."
+                    )
+        except ValueError:
+            raise
+        except Exception:  # pragma: no cover - FS quirks never block validation
+            pass
 
     # foreachBatch signature: (DataFrame, epoch_id)
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        self._check_layout(spark)
         runner = SuiteRunner(spark, **self.runner_kwargs)
         result = runner.validate(batch_df, self.suite)
         rows = []

@@ -42,10 +42,17 @@ def monotonic_violations(
 ) -> DataFrame:
     """Streaming per-key monotonicity check with cross-batch state.
 
-    Emits one row per violating input row:
-    ``(key, seq, prev_seq)`` where ``seq`` fails to advance past the
-    running high-water mark (strictly or not). State per key is a single
-    long (the running max), updated every batch.
+    Emits one row per violating input row ``(key, seq, prev_seq)``. Two
+    violation classes, both DETERMINISTIC (``applyInPandasWithState``
+    gives no intra-group row-order guarantee after the shuffle, so arrival
+    order is never consulted):
+
+    - cross-batch regression: ``seq`` fails to advance past the previous
+      batches' high-water mark (``prev_seq`` = that mark);
+    - in-batch duplicate (``strictly`` only): equal ``seq`` values within
+      one batch, checked on the batch's SORTED sequence.
+
+    State per key is a single long (the running max), updated every batch.
     """
     out_schema = StructType(
         [
@@ -60,24 +67,26 @@ def monotonic_violations(
         import pandas as pd
 
         last = state.get[0] if state.exists else None
-        rows = {"key": [], "seq": [], "prev_seq": []}
+        seqs: list[int] = []
         for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # event order within the batch: by the sequence's arrival order
-            # column itself (input_hint: stable (conv_id, turn_idx) order)
-            for s in pdf[seq_col]:
-                s = int(s)
-                bad = (
-                    last is not None
-                    and (s <= last if strictly else s < last)
-                )
-                if bad:
-                    rows["key"].append(str(key[0]))
-                    rows["seq"].append(s)
-                    rows["prev_seq"].append(last)
-                if last is None or s > last:
-                    last = s
+            if len(pdf):
+                seqs.extend(int(s) for s in pdf[seq_col])
+        seqs.sort()
+        rows = {"key": [], "seq": [], "prev_seq": []}
+        prev_in_batch: int | None = None
+        for s in seqs:
+            if last is not None and (s <= last if strictly else s < last):
+                rows["key"].append(str(key[0]))
+                rows["seq"].append(s)
+                rows["prev_seq"].append(last)
+            elif strictly and prev_in_batch is not None and s == prev_in_batch:
+                rows["key"].append(str(key[0]))
+                rows["seq"].append(s)
+                rows["prev_seq"].append(prev_in_batch)
+            prev_in_batch = s
+        if seqs:
+            top = seqs[-1]
+            last = top if last is None else max(last, top)
         state.update((int(last if last is not None else 0),))
         if rows["key"]:
             yield pd.DataFrame(rows)

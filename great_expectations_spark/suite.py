@@ -102,7 +102,13 @@ class ExpectationSuite:
     meta: dict[str, Any] = field(default_factory=dict)
 
     def add(self, expectation_type: str, **kwargs: Any) -> ExpectationConfiguration:
-        cfg = ExpectationConfiguration(expectation_type=expectation_type, kwargs=kwargs)
+        # ``meta`` is a sibling field of the configuration, not a validation
+        # kwarg (reference GE excludes it from expectation identity); pop it
+        # so it never leaks into ``cfg.id`` / kwargs-shaped serialization.
+        meta = kwargs.pop("meta", None) or {}
+        cfg = ExpectationConfiguration(
+            expectation_type=expectation_type, kwargs=kwargs, meta=meta
+        )
         self.expectations.append(cfg)
         return cfg
 

@@ -283,6 +283,26 @@ class TestSimilarity:
         # nprobe == n_centroids → exhaustive → must equal brute force
         assert [r["neighbor_id"] for r in out] == [1, 5]
 
+    def test_ivf_build_tolerates_null_vectors(self, spark, vecs):
+        """Null embeddings (dirty data) must not crash the driver-side
+        centroid materialization; they're excluded from sampling."""
+        dirty = vecs.unionByName(
+            spark.createDataFrame(
+                [(99, None)],
+                vecs.schema,
+            )
+        )
+        cent, assigned = S.build_ivf_index(dirty, "vec_id", "embedding",
+                                           n_centroids=3)
+        assert cent.count() == 3
+        assert all(r["centroid_vec"] is not None for r in cent.collect())
+
+    def test_ivf_build_empty_corpus(self, spark, vecs):
+        cent, assigned = S.build_ivf_index(
+            vecs.limit(0), "vec_id", "embedding", n_centroids=3
+        )
+        assert cent.count() == 0 and assigned.count() == 0
+
 
 # ---------------------------------------------------------------------------
 # text stats

@@ -70,6 +70,59 @@ def test_multi_batch_metrics_one_row_per_batch(spark):
     assert {"x__mean", "x__min", "x__max", "cat__approx_distinct"} <= set(rows[0])
 
 
+def test_multi_batch_metrics_keeps_empty_batch_aligned(spark):
+    """A zero-row batch must stay at its index (n=0), not silently vanish
+    from the metric matrix (groupBy emits no row for it)."""
+    b = _batches(spark, k=2)
+    empty = b[0].limit(0)
+    cols, rows = multi_batch_metrics([b[0], empty, b[1]])
+    assert len(rows) == 3
+    assert rows[1]["n"] == 0 and rows[1]["x__nn"] == 0
+    assert rows[0]["n"] == 400 and rows[2]["n"] == 400
+    assert rows[1]["x__mean"] is None
+
+    prof = RuleBasedProfiler(estimator="exact")
+    suite = prof.profile([b[0], empty, b[1]])
+    rc = next(
+        e for e in suite
+        if e.expectation_type == "expect_table_row_count_to_be_between"
+    )
+    assert rc.kwargs["min_value"] == 0  # the empty batch drives the floor
+
+
+def test_not_null_mostly_clamped_above_zero(spark):
+    """A worst-batch non-null ratio in (0, 0.01) must not emit the vacuous
+    mostly=0.0; it clamps to 0.01."""
+    rows = [(i, "v" if i == 0 else None) for i in range(500)]
+    b = spark.createDataFrame(rows, "id int, sparse string")
+    suite = RuleBasedProfiler(estimator="exact").profile(
+        [b, b], columns=["sparse"]
+    )
+    nn = next(
+        e for e in suite
+        if e.expectation_type == "expect_column_values_to_not_be_null"
+    )
+    assert nn.kwargs["mostly"] == 0.01
+
+
+def test_suite_add_meta_is_sibling_not_kwarg(spark):
+    """meta= routes to ExpectationConfiguration.meta, never into kwargs/id."""
+    from great_expectations_spark.suite import ExpectationSuite
+
+    s = ExpectationSuite("m")
+    cfg = s.add(
+        "expect_column_mean_to_be_between",
+        column="x", min_value=0, max_value=1,
+        meta={"rule_based_profiler": {"metric": "mean"}},
+    )
+    assert "meta" not in cfg.kwargs
+    assert cfg.meta["rule_based_profiler"]["metric"] == "mean"
+    bare = ExpectationSuite("m2").add(
+        "expect_column_mean_to_be_between", column="x", min_value=0, max_value=1
+    )
+    assert cfg.id == bare.id  # meta excluded from identity
+
+
 def test_profile_then_holdout_passes(spark):
     """The reference RBP promise: bounds estimated from k batches hold on a
     same-distribution holdout batch."""

@@ -79,10 +79,26 @@ def test_monotonic_non_strict_allows_repeats(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
+    # one micro-batch: [1, 1, 0] — order within a batch carries no
+    # information (no intra-group row-order guarantee after the state
+    # shuffle), so the batch is judged on its sorted sequence: repeats are
+    # fine non-strict, and 0 is no regression because no PRIOR batch set a
+    # high-water mark
     _write(spark, src, [("c1", 1), ("c1", 1), ("c1", 0)])
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     _drain(
         monotonic_violations(stream, "conv_id", "turn_idx", strictly=False),
+        out, ckpt,
+    )
+    rows = spark.read.schema("key string, seq long, prev_seq long").parquet(out)
+    assert rows.count() == 0
+
+    # second micro-batch regresses below the HWM=1: 0 violates (non-strict
+    # allows equality, so the repeated 1 still passes)
+    _write(spark, src, [("c1", 0), ("c1", 1), ("c1", 2)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    _drain(
+        monotonic_violations(stream2, "conv_id", "turn_idx", strictly=False),
         out, ckpt,
     )
     rows = spark.read.schema("key string, seq long, prev_seq long").parquet(out)
