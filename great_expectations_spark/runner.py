@@ -773,8 +773,14 @@ class SuiteRunner:
         df.createOrReplaceTempView("active_batch")
         sql = cq.query.replace("{active_batch}", "active_batch")
         res = self.spark.sql(sql)
-        n = res.count()
-        head = res.limit(cq.result_format["partial_unexpected_count"]).collect()
+        # one bounded collect decides success AND yields the sample; the
+        # arbitrary user SQL only re-executes for an exact count when it
+        # returned MORE than the partial cap (the passing case — zero rows —
+        # costs exactly one job)
+        cap = cq.result_format["partial_unexpected_count"]
+        head = res.limit(cap + 1).collect()
+        n = res.count() if len(head) > cap else len(head)
+        head = head[:cap]
         return ExpectationValidationResult(
             success=n == 0,
             expectation_config=cq.cfg.to_dict(),
