@@ -65,24 +65,52 @@ class DomainGroup:
         n += len(self.uniques) + len(self.value_counts_columns)
         return n
 
-    def bundle_exprs(self) -> dict[str, Column]:
-        """The P1 bundled aggregate expressions, deduped by alias."""
+    def bundle_items(self) -> list[tuple[frozenset, str, Column]]:
+        """The P1 bundled aggregate expressions as ``(column_set, alias,
+        expr)`` triples, deduped by alias (same alias ⇒ same expr, later
+        wins — identical semantics to a dict update).
+
+        The column set is the expression's scan footprint (map domain
+        columns / the agg's column kwarg); the runner merges overlapping
+        sets into COLUMN-DISJOINT COHORTS and runs one concurrent
+        aggregation pass per cohort: parquet column pruning keeps total
+        bytes identical to the single union scan, while wall-clock drops
+        to the slowest cohort (the wide ``text`` column no longer gates
+        the narrow numeric metrics). ``element_count`` carries an empty
+        set and attaches to the narrowest cohort."""
         from pyspark.sql import functions as F
 
-        exprs: dict[str, Column] = {"element_count": F.count(F.lit(1))}
+        items: list[tuple[frozenset, str, Column]] = [
+            (frozenset(), "element_count", F.count(F.lit(1)))
+        ]
         for cm in self.maps + self.window_maps + self.dependent_maps:
-            exprs[f"nc__{cm.cfg.id}"] = F.sum(
-                F.when(cm.condition.missing, 1).otherwise(0)
+            cols = frozenset(cm.condition.domain_cols)
+            items.append(
+                (cols, f"nc__{cm.cfg.id}",
+                 F.sum(F.when(cm.condition.missing, 1).otherwise(0)))
             )
         for cm in self.maps:
-            exprs[f"uc__{cm.cfg.id}"] = F.sum(
-                F.when(cm.condition.unexpected, 1).otherwise(0)
+            items.append(
+                (frozenset(cm.condition.domain_cols), f"uc__{cm.cfg.id}",
+                 F.sum(F.when(cm.condition.unexpected, 1).otherwise(0)))
             )
         for cm in self.dependent_maps:
-            exprs.update(cm.condition.requires)  # wave-2 deps ride wave 1
+            cols = frozenset(cm.condition.domain_cols)
+            for a, e in cm.condition.requires.items():  # wave-2 deps ride wave 1
+                items.append((cols, a, e))
         for ca in self.aggs:
-            exprs.update(ca.metric.exprs)  # dedup: same alias ⇒ same expr
-        return exprs
+            cols = frozenset(
+                c
+                for k in ("column", "column_A", "column_B")
+                if (c := ca.cfg.kwargs.get(k)) is not None
+            ) | frozenset(ca.cfg.kwargs.get("column_list") or [])
+            for a, e in ca.metric.exprs.items():
+                items.append((cols, a, e))
+        return items
+
+    def bundle_exprs(self) -> dict[str, Column]:
+        """The P1 bundled aggregate expressions, deduped by alias."""
+        return {a: e for _, a, e in self.bundle_items()}
 
 
 @dataclass

@@ -51,6 +51,74 @@ from great_expectations_spark.skew import value_counts as skew_value_counts
 from great_expectations_spark.suite import ExpectationSuite
 
 
+def _scan_footprint(gdf: DataFrame, col: str) -> frozenset:
+    """The set of BASE columns a single named column actually reads, from
+    the physical plan's leaf scan output. Derived columns (e.g.
+    ``withColumn("__text_len", length(text))``) resolve to their source
+    columns, so cohort formation (below) never puts a derived column and
+    its source in different cohorts — which would decompress the source
+    column once per cohort. Falls back to the column's own name (and for
+    in-memory LocalTableScan leaves returns the full schema — conservative:
+    merges everything into one cohort, where splitting had no scan-pruning
+    benefit anyway)."""
+    try:
+        leaves = gdf.select(col)._jdf.queryExecution().executedPlan().collectLeaves()
+        names = set()
+        for i in range(leaves.size()):
+            out = leaves.apply(i).output()
+            for j in range(out.size()):
+                names.add(out.apply(j).name())
+        return frozenset(names) if names else frozenset([col])
+    except Exception:  # noqa: BLE001 — footprint is an optimization hint only
+        return frozenset([col])
+
+
+def _bundle_cohorts(
+    items: list, max_cohorts: int = 4
+) -> list[dict[str, Any]]:
+    """Merge ``(column_set, alias, expr)`` triples into COLUMN-DISJOINT
+    cohorts: overlapping column sets union (so no column is ever scanned by
+    two cohorts — total bytes = the single union scan), empty-set items
+    (element_count) attach to the narrowest cohort, and the smallest cohorts
+    merge until at most ``max_cohorts`` remain (each cohort is one Spark
+    job; more jobs than the runner's concurrency budget only adds
+    scheduling overhead). Returns alias→expr dicts, deduped by alias in
+    item order."""
+    # union-find over column names
+    parent: dict[str, str] = {}
+
+    def find(c: str) -> str:
+        while parent.setdefault(c, c) != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for cols, _, _ in items:
+        cols = list(cols)
+        for other in cols[1:]:
+            parent[find(other)] = find(cols[0])
+
+    cohorts: dict[str, dict[str, Any]] = {}
+    deferred: list[tuple[str, Any]] = []
+    for cols, alias, expr in items:
+        if not cols:
+            deferred.append((alias, expr))
+            continue
+        cohorts.setdefault(find(next(iter(cols))), {})[alias] = expr
+
+    out = sorted(cohorts.values(), key=len)
+    if not out:
+        out = [{}]
+    for alias, expr in deferred:
+        out[0][alias] = expr
+    out = [c for c in out if c]
+    while len(out) > max(1, max_cohorts):
+        out.sort(key=len)
+        out[1].update(out[0])
+        out.pop(0)
+    return out
+
+
 def _observed_str(cond) -> F.Column:
     """Uniform string rendering of the observed value for the sink."""
     if len(cond.domain_cols) > 1:
@@ -313,18 +381,42 @@ class SuiteRunner:
         # group approaches max(pass) instead of sum(pass).
         from concurrent.futures import ThreadPoolExecutor
 
-        # ---- P1: the bundled aggregation ---------------------------------
-        exprs = group.bundle_exprs()
+        # ---- P1: the bundled aggregation, split into column-disjoint
+        # cohorts run as concurrent jobs (see DomainGroup.bundle_items) ----
+        items = group.bundle_items()
         for cu in group.uniques:
-            exprs[f"nc__{cu.cfg.id}"] = F.sum(
-                F.when(self._unique_missing(cu), 1).otherwise(0)
+            items.append(
+                (frozenset(cu.key_cols), f"nc__{cu.cfg.id}",
+                 F.sum(F.when(self._unique_missing(cu), 1).otherwise(0)))
             )
+        if self.max_concurrent_jobs > 1 and len(items) > 1:
+            # remap each item's columns to their physical scan footprint so
+            # cohorts are disjoint in BASE columns, not just names
+            fp: dict[str, frozenset] = {}
+            items = [
+                (
+                    frozenset().union(
+                        *[fp.setdefault(c, _scan_footprint(gdf, c)) for c in cols]
+                    )
+                    if cols
+                    else cols,
+                    alias,
+                    expr,
+                )
+                for cols, alias, expr in items
+            ]
+        cohorts = _bundle_cohorts(items, max_cohorts=self.max_concurrent_jobs)
 
-        def bundle_job() -> dict[str, Any]:
-            if not exprs:
-                return {}
+        def cohort_job(exprs: dict[str, Any]) -> dict[str, Any]:
             row = gdf.agg(*[e.alias(a) for a, e in exprs.items()]).collect()[0]
             return {k: _row_value(v) for k, v in row.asDict().items()}
+
+        def bundle_job() -> dict[str, Any]:
+            # single-cohort path (or max_concurrent_jobs == 1): one union scan
+            out: dict[str, Any] = {}
+            for c in cohorts:
+                out.update(cohort_job(c))
+            return out
 
         def mode_job(col: str) -> list[Any]:
             vc = (
@@ -355,15 +447,20 @@ class SuiteRunner:
             return row.asDict()
 
         n_jobs = (
-            1
+            len(cohorts)
             + len(group.value_counts_columns)
             + (1 if group.window_maps else 0)
             + len(group.uniques)
         )
-        pool = ThreadPoolExecutor(max_workers=min(n_jobs, self.max_concurrent_jobs))
+        pool = ThreadPoolExecutor(
+            max_workers=max(1, min(n_jobs, self.max_concurrent_jobs))
+        )
         fut_unique: dict[str, Any] = {}
         try:
-            fut_bundle = pool.submit(bundle_job)
+            if self.max_concurrent_jobs > 1:
+                fut_bundles = [pool.submit(cohort_job, c) for c in cohorts]
+            else:
+                fut_bundles = [pool.submit(bundle_job)]
             fut_modes = {
                 col: pool.submit(mode_job, col)
                 for col in group.value_counts_columns
@@ -374,7 +471,9 @@ class SuiteRunner:
                 for cu in group.uniques
             }
 
-            values: dict[str, Any] = dict(fut_bundle.result())
+            values: dict[str, Any] = {}
+            for fb in fut_bundles:
+                values.update(fb.result())
             from great_expectations_spark.functions.aggregates import safe_alias
 
             for col, fut in fut_modes.items():

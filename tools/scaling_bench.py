@@ -59,6 +59,16 @@ def main() -> None:
 
     samples: dict[int, list[float]] = {LEVEL_N: [], LEVEL_4N: []}
     samples[LEVEL_4N].append(warm["queries"]["suite_transcripts"])
+    # SCALE_PRIOR_RAW: the `Raw:` JSON of an earlier run of the SAME engine
+    # version — its samples merge into this run's pool (more interleaved
+    # samples → better minimum under the 2-4x host noise). Never merge
+    # across engine changes.
+    prior = os.environ.get("SCALE_PRIOR_RAW")
+    if prior:
+        pr = json.loads(prior)
+        assert pr["n_turns"] == N_TURNS and pr["levels"] == [LEVEL_N, LEVEL_4N]
+        for lvl in (LEVEL_N, LEVEL_4N):
+            samples[lvl].extend(pr["samples_sec"][str(lvl)])
     for i in range(ROUNDS):
         for lvl in (LEVEL_N, LEVEL_4N):
             s = run_once(lvl)["queries"]["suite_transcripts"]
