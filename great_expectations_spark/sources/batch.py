@@ -19,10 +19,17 @@ from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-# reader_method → SparkSession.read accessor. Delta/Iceberg need jars the
-# sandbox lacks; "table" covers both once the catalog is configured
-# (spark.read.table("cat.db.transcripts") — SURVEY.md §2.1 ORC/Delta row).
+# reader_method → SparkSession.read accessor (built-in file sources) …
 _PATH_READERS = ("csv", "json", "parquet", "orc", "text")
+# … vs DataSourceV2 formats read via .format(m).load(path). Delta/Iceberg
+# jars are absent in the sandbox (SURVEY.md §7.4) so these dispatch-verify
+# with a recording stub in tests; on a cluster with the connector on the
+# classpath the same spec reads the real table. Catalog tables
+# (spark.read.table("cat.db.transcripts")) remain the preferred Iceberg
+# path — table_options carries v2 time-travel options (Iceberg
+# "snapshot-id"/"as-of-timestamp", Delta "versionAsOf"/"timestampAsOf"),
+# which DataFrameReader.table forwards to the v2 catalog.
+_FORMAT_READERS = ("delta", "iceberg", "avro")
 
 
 @dataclass(frozen=True)
@@ -43,6 +50,7 @@ class BatchSpec:
     reader_method: str = "parquet"
     reader_options: dict[str, Any] = field(default_factory=dict)
     table: Optional[str] = None
+    table_options: dict[str, Any] = field(default_factory=dict)
     jdbc: Optional[dict[str, Any]] = None
     splitter_method: Optional[str] = None
     splitter_kwargs: dict[str, Any] = field(default_factory=dict)
@@ -58,10 +66,15 @@ class BatchSpec:
             raise ValueError(
                 "BatchSpec needs exactly one of dataframe / path / table / jdbc"
             )
-        if self.path is not None and self.reader_method not in _PATH_READERS:
+        if self.path is not None and self.reader_method not in (
+            _PATH_READERS + _FORMAT_READERS
+        ):
             raise ValueError(
-                f"reader_method {self.reader_method!r} not in {_PATH_READERS}"
+                f"reader_method {self.reader_method!r} not in "
+                f"{_PATH_READERS + _FORMAT_READERS}"
             )
+        if self.table_options and self.table is None:
+            raise ValueError("table_options requires table")
         if self.jdbc is not None:
             if "url" not in self.jdbc or not (
                 "dbtable" in self.jdbc or "query" in self.jdbc
@@ -83,7 +96,10 @@ def read_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
     if spec.dataframe is not None:
         df = spec.dataframe
     elif spec.table is not None:
-        df = spark.read.table(spec.table)
+        # v2 time-travel options (Iceberg snapshot-id / as-of-timestamp,
+        # Delta versionAsOf / timestampAsOf) flow through DataFrameReader
+        # to the catalog's table implementation.
+        df = spark.read.options(**spec.table_options).table(spec.table)
     elif spec.jdbc is not None:
         # SQL-table source (reference SqlAlchemy datasource analog).
         # Filters/column pruning push into the remote database (JDBC source
@@ -92,6 +108,13 @@ def read_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
         # must be set for any large table — a single-partition JDBC scan
         # serializes the whole extract through one task.
         df = spark.read.format("jdbc").options(**spec.jdbc).load()
+    elif spec.reader_method in _FORMAT_READERS:
+        # DataSourceV2 path-style read: .format("delta"|"iceberg"|…).load()
+        df = (
+            spark.read.format(spec.reader_method)
+            .options(**spec.reader_options)
+            .load(spec.path)
+        )
     else:
         reader = spark.read.options(**spec.reader_options)
         df = getattr(reader, spec.reader_method)(spec.path)

@@ -93,7 +93,12 @@ def main() -> None:
     print(json.dumps(result, indent=2))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # SCALE_OUT lets a larger-input amortization run land in its own file
+    # instead of clobbering the canonical 16M-turn BASELINE.md record.
+    out_path = os.environ.get(
+        "SCALE_OUT", os.path.join(REPO, "BENCH", "BASELINE.md")
+    )
+    with open(out_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
             "north_rule: ≥0.8 throughput-scaling efficiency from N to 4N\n"
