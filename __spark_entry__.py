@@ -589,6 +589,47 @@ def q_kl_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(kl, 6),)], "kl double")
 
 
+def q_chisq_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit statistic over events.event_type vs a
+    uniform 5-way baseline, through profile.chisquare_test_metric (counts
+    ride one bundled agg). The p-value needs the incomplete gamma (not SQL);
+    the STATISTIC and df have a closed-form DuckDB oracle."""
+    from great_expectations_spark.profile import chisquare_test_metric
+
+    ev = _load(spark, sf_dir, "events")
+    metric = chisquare_test_metric(
+        "event_type",
+        {"values": ["click", "error", "purchase", "signup", "view"],
+         "weights": [0.2, 0.2, 0.2, 0.2, 0.2]},
+    )
+    vals = ev.agg(*[e.alias(a) for a, e in metric.exprs.items()]).collect()[0].asDict()
+    d = metric.details(vals)["chisquare"]
+    return spark.createDataFrame(
+        [(round(float(d["statistic"]), 6), int(d["df"]))],
+        "chisq_stat double, df long",
+    )
+
+
+def q_ks_boundary_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-KS statistic of lineitem.l_quantity against a uniform
+    [1, 50] baseline, through profile.ks_test_metric (cumulative counts in
+    one bundled agg). D at the bin boundaries is SQL-closed-form."""
+    from great_expectations_spark.profile import ks_test_metric
+
+    li = _load(spark, sf_dir, "lineitem")
+    metric = ks_test_metric(
+        "l_quantity",
+        {"bins": [1.0, 13.25, 25.5, 37.75, 50.0],
+         "weights": [0.25, 0.25, 0.25, 0.25]},
+    )
+    vals = li.agg(*[e.alias(a) for a, e in metric.exprs.items()]).collect()[0].asDict()
+    d = metric.details(vals)["ks"]
+    return spark.createDataFrame(
+        [(round(float(d["statistic_at_boundaries"]), 6), int(d["n"]))],
+        "ks_stat double, n long",
+    )
+
+
 def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median + unique_proportion + values_between_count through the
     engine's aggregate metrics (functions/aggregates.py), one bundled agg."""
@@ -794,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_checks": q_pair_checks,
         "multicolumn_checks": q_multicolumn_checks,
         "kl_continuous": q_kl_continuous,
+        "chisq_stat": q_chisq_stat,
+        "ks_boundary_stat": q_ks_boundary_stat,
         "agg_extras": q_agg_extras,
         "most_common_value": q_most_common_value,
         "rowcount_vs_other": q_rowcount_vs_other,
@@ -1004,6 +1047,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem) AS sum_violations, "
             "(SELECT CAST(count(*) FILTER (WHERE n_nationkey = n_regionkey) "
             "AS BIGINT) FROM nation) AS record_dup_violations"
+        ),
+        "chisq_stat": (
+            "WITH c AS (SELECT "
+            "count(*) FILTER (WHERE event_type = 'click') AS c1, "
+            "count(*) FILTER (WHERE event_type = 'error') AS c2, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS c3, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS c4, "
+            "count(*) FILTER (WHERE event_type = 'view') AS c5, "
+            "count(event_type) AS total FROM events) "
+            "SELECT round("
+            "(c1 - 0.2*total)*(c1 - 0.2*total)/(0.2*total) + "
+            "(c2 - 0.2*total)*(c2 - 0.2*total)/(0.2*total) + "
+            "(c3 - 0.2*total)*(c3 - 0.2*total)/(0.2*total) + "
+            "(c4 - 0.2*total)*(c4 - 0.2*total)/(0.2*total) + "
+            "(c5 - 0.2*total)*(c5 - 0.2*total)/(0.2*total), 6) AS chisq_stat, "
+            "CAST(4 AS BIGINT) AS df FROM c"
+        ),
+        "ks_boundary_stat": (
+            "WITH c AS (SELECT count(l_quantity) AS n, "
+            "count(*) FILTER (WHERE l_quantity <= 1.0) AS e0, "
+            "count(*) FILTER (WHERE l_quantity <= 13.25) AS e1, "
+            "count(*) FILTER (WHERE l_quantity <= 25.5) AS e2, "
+            "count(*) FILTER (WHERE l_quantity <= 37.75) AS e3, "
+            "count(*) FILTER (WHERE l_quantity <= 50.0) AS e4 "
+            "FROM lineitem) "
+            "SELECT round(greatest("
+            "abs(e0/CAST(n AS DOUBLE) - 0.0), "
+            "abs(e1/CAST(n AS DOUBLE) - 0.25), "
+            "abs(e2/CAST(n AS DOUBLE) - 0.5), "
+            "abs(e3/CAST(n AS DOUBLE) - 0.75), "
+            "abs(e4/CAST(n AS DOUBLE) - 1.0)), 6) AS ks_stat, "
+            "CAST(n AS BIGINT) AS n FROM c"
         ),
         "kl_continuous": (
             "WITH h AS (SELECT count(*) FILTER (WHERE l_extendedprice >= 0 AND "

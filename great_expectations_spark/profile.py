@@ -426,3 +426,232 @@ def _continuous_kl(
         }
 
     return AggMetric(exprs, fin, details)
+
+
+# ---------------------------------------------------------------------------
+# statistical-test metrics: chi-square goodness-of-fit, KS against a
+# continuous partition CDF
+# ---------------------------------------------------------------------------
+#
+# Reference: ``expect_column_chisquare_test_p_value_to_be_greater_than`` /
+# ``expect_column_bootstrapped_ks_test_p_value_to_be_greater_than``
+# (great_expectations/dataset/dataset.py, PandasDataset-only upstream —
+# SparkDFDataset raised NotImplementedError; unverified per SURVEY.md §0).
+# Spark-first reformulation: every count the tests need is a scalar
+# conditional sum riding the suite's ONE bundled aggregation pass; the
+# p-value math is closed-form driver arithmetic (regularized incomplete
+# gamma / asymptotic Kolmogorov series — standard public numerical methods,
+# cf. Numerical Recipes §6.2/§14.3), so no scipy dependency and no sampling
+# of row data to the driver. The KS statistic is evaluated at the partition
+# bin BOUNDARIES (the points where the reference CDF is defined exactly);
+# against a piecewise-linear reference CDF this is the scan-friendly,
+# sample-free form — at 10^12 rows the asymptotic p-value the reference
+# bootstraps toward is the exact limit.
+
+
+def _regularized_gamma_q(s: float, x: float) -> float:
+    """Upper regularized incomplete gamma Q(s, x) = Γ(s, x) / Γ(s).
+
+    Series expansion for x < s+1, Lentz continued fraction otherwise —
+    the classic split that converges fast on both sides.
+    """
+    if s <= 0 or x < 0:
+        raise ValueError("need s > 0, x >= 0")
+    if x == 0.0:
+        return 1.0
+    lg = math.lgamma(s)
+    if x < s + 1.0:
+        # series for the lower function P; Q = 1 - P
+        term = 1.0 / s
+        total = term
+        a = s
+        for _ in range(1000):
+            a += 1.0
+            term *= x / a
+            total += term
+            if abs(term) < abs(total) * 1e-16:
+                break
+        return 1.0 - total * math.exp(-x + s * math.log(x) - lg)
+    # modified Lentz continued fraction for Q
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 1000):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-16:
+            break
+    return math.exp(-x + s * math.log(x) - lg) * h
+
+
+def chi2_sf(stat: float, df: int) -> float:
+    """Chi-square survival function P(X >= stat) with ``df`` degrees of
+    freedom: Q(df/2, stat/2)."""
+    if df <= 0:
+        raise ValueError("df must be positive")
+    if stat <= 0:
+        return 1.0
+    if math.isinf(stat):
+        return 0.0
+    return min(1.0, max(0.0, _regularized_gamma_q(df / 2.0, stat / 2.0)))
+
+
+def kolmogorov_sf(lam: float) -> float:
+    """Asymptotic Kolmogorov survival function
+    Q_KS(λ) = 2 Σ_{k≥1} (-1)^{k-1} exp(-2 k² λ²)."""
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for k in range(1, 200):
+        term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        total += term
+        if abs(term) < 1e-14:
+            break
+    return min(1.0, max(0.0, total))
+
+
+def chisquare_test_metric(
+    column: str,
+    partition_object: dict[str, Any],
+    tail_weight_holdout: float = 0.0,
+) -> AggMetric:
+    """Chi-square goodness-of-fit vs a categorical partition_object.
+
+    Observed counts per baseline value ride the bundled agg pass (same
+    conditional-sum shape as the categorical KL check). Expected counts are
+    ``weights × nonnull_total``. Observed-but-unseen values form an "other"
+    bucket: with ``tail_weight_holdout`` > 0 its expected mass is
+    ``holdout × total`` (baseline weights rescaled by 1-holdout); without a
+    holdout any other-mass makes the statistic ∞ and the p-value 0 — the
+    same hard-fail convention as the KL ∞ branch. Observed value = p-value
+    (chi2_sf at k-1 degrees of freedom); details carry the statistic and
+    both count vectors.
+    """
+    if not is_valid_categorical_partition_object(partition_object):
+        raise ValueError("chi-square test needs a categorical partition_object")
+    values = list(partition_object["values"])
+    baseline = np.asarray(partition_object["weights"], dtype=float)
+    c = F.col(column)
+
+    exprs: dict[str, Any] = {}
+    val_aliases: list[str] = []
+    for i, v in enumerate(values):
+        a = safe_alias("chisq", column, i)
+        val_aliases.append(a)
+        exprs[a] = F.sum(F.when(c.eqNullSafe(F.lit(v)), 1).otherwise(0))
+    other_alias = safe_alias("chisq_other", column)
+    in_set = c.isin(values) if values else F.lit(False)
+    exprs[other_alias] = F.sum(
+        F.when(c.isNotNull() & ~F.coalesce(in_set, F.lit(False)), 1).otherwise(0)
+    )
+
+    def _stat(vals: dict[str, Any]) -> tuple[float, int, np.ndarray, np.ndarray]:
+        counts = np.array([vals[a] or 0 for a in val_aliases], dtype=float)
+        other = float(vals[other_alias] or 0)
+        total = counts.sum() + other
+        if total == 0:
+            return float("nan"), 0, counts, np.zeros_like(counts)
+        if other > 0 and tail_weight_holdout <= 0:
+            return float("inf"), len(counts) - 1, counts, baseline * total
+        if tail_weight_holdout > 0:
+            obs = np.append(counts, other)
+            exp = np.append(
+                baseline * (1.0 - tail_weight_holdout), tail_weight_holdout
+            ) * total
+        else:
+            obs, exp = counts, baseline * total
+        nz = exp > 0
+        if (obs[~nz] > 0).any():
+            return float("inf"), len(obs) - 1, obs, exp
+        stat = float(((obs[nz] - exp[nz]) ** 2 / exp[nz]).sum())
+        return stat, max(1, len(obs) - 1), obs, exp
+
+    def fin(vals: dict[str, Any]) -> float:
+        stat, df, _, _ = _stat(vals)
+        if math.isnan(stat):
+            return float("nan")
+        return chi2_sf(stat, df)
+
+    def details(vals: dict[str, Any]) -> dict[str, Any]:
+        stat, df, obs, exp = _stat(vals)
+        return {
+            "chisquare": {
+                "statistic": None if math.isnan(stat) or math.isinf(stat) else stat,
+                "df": df,
+                "observed_counts": [float(x) for x in obs],
+                "expected_counts": [float(x) for x in exp],
+            }
+        }
+
+    return AggMetric(exprs, fin, details)
+
+
+def ks_test_metric(
+    column: str, partition_object: dict[str, Any]
+) -> AggMetric:
+    """KS test of the column against a continuous partition_object CDF,
+    evaluated at the partition's bin boundaries.
+
+    exprs: nonnull total + one ``sum(when(x <= b_i))`` per boundary — all
+    scalar, all riding the bundled pass. D = max_i |ECDF(b_i) - CDF(b_i)|
+    where CDF(b_i) = tail_below + Σ weights[:i]; p-value from the asymptotic
+    Kolmogorov distribution at λ = (√n + 0.12 + 0.11/√n)·D. Boundary
+    restriction makes D a lower bound of the full sup-statistic (p an upper
+    bound) — exact wherever the baseline is piecewise linear between
+    boundaries and the observed data is continuous at scale.
+    """
+    if not is_valid_continuous_partition_object(partition_object):
+        raise ValueError("KS test needs a continuous partition_object")
+    bins = [float(b) for b in partition_object["bins"]]
+    weights = np.asarray(partition_object["weights"], dtype=float)
+    tails = partition_object.get("tail_weights") or [0.0, 0.0]
+    cdf_at = float(tails[0]) + np.concatenate([[0.0], np.cumsum(weights)])
+
+    c = F.col(column).cast("double")
+    nn_alias = safe_alias("ksnn", column)
+    exprs: dict[str, Any] = {nn_alias: F.count(F.col(column))}
+    cum_aliases: list[str] = []
+    for i, b in enumerate(bins):
+        a = safe_alias("kscum", column, i)
+        cum_aliases.append(a)
+        exprs[a] = F.sum(
+            F.when(F.col(column).isNotNull() & (c <= F.lit(b)), 1).otherwise(0)
+        )
+
+    def _d(vals: dict[str, Any]) -> tuple[float, float]:
+        n = float(vals[nn_alias] or 0)
+        if n == 0:
+            return float("nan"), 0.0
+        ecdf = np.array([vals[a] or 0 for a in cum_aliases], dtype=float) / n
+        d = float(np.abs(ecdf - cdf_at).max())
+        return d, n
+
+    def fin(vals: dict[str, Any]) -> float:
+        d, n = _d(vals)
+        if math.isnan(d):
+            return float("nan")
+        sqn = math.sqrt(n)
+        return kolmogorov_sf((sqn + 0.12 + 0.11 / sqn) * d)
+
+    def details(vals: dict[str, Any]) -> dict[str, Any]:
+        d, n = _d(vals)
+        return {
+            "ks": {
+                "statistic_at_boundaries": None if math.isnan(d) else d,
+                "n": n,
+                "boundaries": bins,
+            }
+        }
+
+    return AggMetric(exprs, fin, details)

@@ -389,6 +389,51 @@ def _compile_kl(cfg: ExpectationConfiguration) -> CompiledAgg:
     return CompiledAgg(cfg=cfg, metric=metric, validate=validate)
 
 
+def _p_value_compiler(expectation_type: str, metric_builder) -> None:
+    """Shared compiler for the p-value family: success ⇔ p > ``p`` kwarg
+    (reference default 0.05). NaN observed (empty batch) fails closed."""
+
+    @register(expectation_type)
+    def _compile(cfg: ExpectationConfiguration) -> CompiledAgg:
+        metric = metric_builder(cfg)
+        threshold = float(cfg.kwargs.get("p", 0.05))
+
+        def validate(observed: Any) -> tuple[bool, dict[str, Any]]:
+            import math
+
+            if observed is None or (
+                isinstance(observed, float) and math.isnan(observed)
+            ):
+                return False, {}
+            return bool(observed > threshold), {}
+
+        return CompiledAgg(cfg=cfg, metric=metric, validate=validate)
+
+
+def _chisq_metric(cfg: ExpectationConfiguration):
+    from great_expectations_spark.profile import chisquare_test_metric
+
+    return chisquare_test_metric(
+        cfg.kwargs["column"],
+        cfg.kwargs["partition_object"],
+        tail_weight_holdout=cfg.kwargs.get("tail_weight_holdout", 0.0),
+    )
+
+
+def _ks_metric(cfg: ExpectationConfiguration):
+    from great_expectations_spark.profile import ks_test_metric
+
+    return ks_test_metric(cfg.kwargs["column"], cfg.kwargs["partition_object"])
+
+
+_p_value_compiler(
+    "expect_column_chisquare_test_p_value_to_be_greater_than", _chisq_metric
+)
+_p_value_compiler(
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", _ks_metric
+)
+
+
 @register("expect_column_most_common_value_to_be_in_set")
 def _compile_most_common(cfg: ExpectationConfiguration) -> CompiledAgg:
     """Most-common value(s) — ties produce a list. Computed via a bundled

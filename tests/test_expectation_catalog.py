@@ -391,6 +391,117 @@ def test_kl_continuous_out_of_range(spark):
 
 
 # ---------------------------------------------------------------------------
+# statistical tests: chi-square goodness-of-fit, boundary KS
+# ---------------------------------------------------------------------------
+
+
+def test_special_function_anchors():
+    """The pure-math p-value machinery against well-known critical values."""
+    from great_expectations_spark.profile import chi2_sf, kolmogorov_sf
+
+    # classic chi-square critical values at alpha = 0.05
+    assert chi2_sf(3.841, 1) == pytest.approx(0.05, abs=2e-4)
+    assert chi2_sf(5.991, 2) == pytest.approx(0.05, abs=2e-4)
+    assert chi2_sf(18.307, 10) == pytest.approx(0.05, abs=2e-4)
+    assert chi2_sf(0.0, 3) == 1.0
+    assert chi2_sf(float("inf"), 3) == 0.0
+    # Kolmogorov critical value: Q_KS(1.358) ≈ 0.05
+    assert kolmogorov_sf(1.358) == pytest.approx(0.05, abs=2e-3)
+    assert kolmogorov_sf(0.0) == 1.0
+    assert kolmogorov_sf(10.0) < 1e-12
+
+
+def test_chisquare_matching_distribution_passes(spark):
+    rows = [("a",)] * 40 + [("b",)] * 40 + [("c",)] * 20
+    frame = spark.createDataFrame(rows, "v string")
+    evr = run_one(
+        frame,
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        column="v",
+        partition_object={"values": ["a", "b", "c"],
+                          "weights": [0.4, 0.4, 0.2]},
+        p=0.05,
+    )
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is True
+    assert evr.result["observed_value"] == pytest.approx(1.0)  # exact fit
+    d = evr.result["details"]["chisquare"]
+    assert d["statistic"] == pytest.approx(0.0)
+    assert d["observed_counts"] == [40.0, 40.0, 20.0]
+
+
+def test_chisquare_mismatched_distribution_fails(spark):
+    rows = [("a",)] * 90 + [("b",)] * 10
+    frame = spark.createDataFrame(rows, "v string")
+    evr = run_one(
+        frame,
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        column="v",
+        partition_object={"values": ["a", "b"], "weights": [0.5, 0.5]},
+        p=0.05,
+    )
+    # stat = (90-50)^2/50 + (10-50)^2/50 = 64, df=1 → p ~ 1e-15
+    assert evr.success is False
+    assert evr.result["details"]["chisquare"]["statistic"] == pytest.approx(64.0)
+    assert evr.result["observed_value"] < 1e-10
+
+
+def test_chisquare_unseen_value_holdout(spark):
+    frame = spark.createDataFrame([("a",)] * 5 + [("z",)], "v string")
+    evr = run_one(
+        frame,
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        column="v",
+        partition_object={"values": ["a"], "weights": [1.0]},
+        p=0.05,
+    )
+    assert evr.success is False  # unseen "z", no holdout → stat ∞, p = 0
+
+    evr2 = run_one(
+        frame,
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        column="v",
+        partition_object={"values": ["a"], "weights": [1.0]},
+        p=0.05,
+        tail_weight_holdout=0.2,
+    )
+    # expected = [4.8, 1.2] vs observed [5, 1]: tiny stat → large p
+    assert evr2.success is True
+
+
+def test_ks_matching_distribution_passes(spark):
+    frame = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    evr = run_one(
+        frame,
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="v",
+        partition_object={"bins": [0.0, 24.75, 49.5, 74.25, 99.0],
+                          "weights": [0.25, 0.25, 0.25, 0.25]},
+        p=0.05,
+    )
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is True
+    assert evr.result["details"]["ks"]["statistic_at_boundaries"] < 0.02
+
+
+def test_ks_shifted_distribution_fails(spark):
+    # all mass in the lower half of the claimed range
+    frame = spark.createDataFrame([(float(i % 50),) for i in range(400)], "v double")
+    evr = run_one(
+        frame,
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="v",
+        partition_object={"bins": [0.0, 25.0, 50.0, 75.0, 100.0],
+                          "weights": [0.25, 0.25, 0.25, 0.25]},
+        p=0.05,
+    )
+    # ECDF(50) = 1.0 vs CDF(50) = 0.5 → D = 0.5 at n=400 → p ≈ 0
+    assert evr.success is False
+    assert evr.result["details"]["ks"]["statistic_at_boundaries"] == pytest.approx(0.5)
+    assert evr.result["observed_value"] < 1e-10
+
+
+# ---------------------------------------------------------------------------
 # mostly edge semantics + invariants (SURVEY.md §5 property row)
 # ---------------------------------------------------------------------------
 
