@@ -630,6 +630,24 @@ def q_ks_boundary_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_param_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized-distribution KS statistic of lineitem.l_quantity vs
+    uniform(loc=1, scale=49), probed at 4 interior quantiles — the probe
+    points (1 + 49·p) and D are closed-form SQL."""
+    from great_expectations_spark.profile import parameterized_ks_test_metric
+
+    li = _load(spark, sf_dir, "lineitem")
+    metric = parameterized_ks_test_metric(
+        "l_quantity", "uniform", {"loc": 1.0, "scale": 49.0}, n_probes=4
+    )
+    vals = li.agg(*[e.alias(a) for a, e in metric.exprs.items()]).collect()[0].asDict()
+    d = metric.details(vals)["ks"]
+    return spark.createDataFrame(
+        [(round(float(d["statistic_at_probes"]), 6), int(d["n"]))],
+        "ks_stat double, n long",
+    )
+
+
 def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median + unique_proportion + values_between_count through the
     engine's aggregate metrics (functions/aggregates.py), one bundled agg."""
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_continuous": q_kl_continuous,
         "chisq_stat": q_chisq_stat,
         "ks_boundary_stat": q_ks_boundary_stat,
+        "param_ks_stat": q_param_ks_stat,
         "agg_extras": q_agg_extras,
         "most_common_value": q_most_common_value,
         "rowcount_vs_other": q_rowcount_vs_other,
@@ -1078,6 +1097,20 @@ def oracle_sql() -> dict[str, str]:
             "abs(e2/CAST(n AS DOUBLE) - 0.5), "
             "abs(e3/CAST(n AS DOUBLE) - 0.75), "
             "abs(e4/CAST(n AS DOUBLE) - 1.0)), 6) AS ks_stat, "
+            "CAST(n AS BIGINT) AS n FROM c"
+        ),
+        "param_ks_stat": (
+            "WITH c AS (SELECT count(l_quantity) AS n, "
+            "count(*) FILTER (WHERE l_quantity <= 1.0 + 49.0*0.2) AS e0, "
+            "count(*) FILTER (WHERE l_quantity <= 1.0 + 49.0*0.4) AS e1, "
+            "count(*) FILTER (WHERE l_quantity <= 1.0 + 49.0*0.6) AS e2, "
+            "count(*) FILTER (WHERE l_quantity <= 1.0 + 49.0*0.8) AS e3 "
+            "FROM lineitem) "
+            "SELECT round(greatest("
+            "abs(e0/CAST(n AS DOUBLE) - 0.2), "
+            "abs(e1/CAST(n AS DOUBLE) - 0.4), "
+            "abs(e2/CAST(n AS DOUBLE) - 0.6), "
+            "abs(e3/CAST(n AS DOUBLE) - 0.8)), 6) AS ks_stat, "
             "CAST(n AS BIGINT) AS n FROM c"
         ),
         "kl_continuous": (

@@ -655,3 +655,152 @@ def ks_test_metric(
         }
 
     return AggMetric(exprs, fin, details)
+
+
+# -- parameterized-distribution KS ------------------------------------------
+#
+# Reference: ``expect_column_parameterized_distribution_ks_test_p_value_to_be_
+# greater_than`` (PandasDataset-only upstream). Spark-first form: probe the
+# claimed distribution's CDF at ``n_probes`` interior quantile points (exact
+# ppf below — no scipy), count ``col <= x_j`` as scalar bundle exprs, and
+# take D = max_j |ECDF(x_j) - p_j| with the asymptotic Kolmogorov p-value.
+
+
+def _norm_ppf(p: float) -> float:
+    """Standard normal quantile — Acklam's rational approximation
+    (|relative error| < 1.15e-9 over (0, 1); public-domain algorithm)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0]*q + c[1])*q + c[2])*q + c[3])*q + c[4])*q + c[5]) / \
+               ((((d[0]*q + d[1])*q + d[2])*q + d[3])*q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0]*q + c[1])*q + c[2])*q + c[3])*q + c[4])*q + c[5]) / \
+               ((((d[0]*q + d[1])*q + d[2])*q + d[3])*q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0]*r + a[1])*r + a[2])*r + a[3])*r + a[4])*r + a[5]) * q / \
+           (((((b[0]*r + b[1])*r + b[2])*r + b[3])*r + b[4])*r + 1)
+
+
+def _gamma_ppf(p: float, shape: float) -> float:
+    """Quantile of the (unit-scale) gamma distribution by bisection on the
+    regularized lower incomplete gamma CDF — driver-side, ≤200 iterations."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    lo, hi = 0.0, max(shape * 10.0, 10.0)
+    while 1.0 - _regularized_gamma_q(shape, hi) < p:
+        hi *= 2.0
+        if hi > 1e12:
+            break
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if 1.0 - _regularized_gamma_q(shape, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-12 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
+
+
+def distribution_ppf(
+    distribution: str, p: float, params: dict[str, float]
+) -> float:
+    """Quantile of a named distribution (scipy parameterization: ``loc`` /
+    ``scale`` plus the family's shape parameter). Supported: norm, uniform,
+    expon, lognorm (shape ``s``), chi2 (shape ``df``), gamma (shape ``a``)."""
+    loc = float(params.get("loc", 0.0))
+    scale = float(params.get("scale", 1.0))
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    if distribution == "norm":
+        mean = float(params.get("mean", loc))
+        std = float(params.get("std", scale))
+        return mean + std * _norm_ppf(p)
+    if distribution == "uniform":
+        return loc + scale * p
+    if distribution == "expon":
+        return loc - scale * math.log(1.0 - p)
+    if distribution == "lognorm":
+        s = float(params["s"])
+        return loc + scale * math.exp(s * _norm_ppf(p))
+    if distribution == "chi2":
+        df = float(params["df"])
+        return loc + scale * 2.0 * _gamma_ppf(p, df / 2.0)
+    if distribution == "gamma":
+        a = float(params["a"])
+        return loc + scale * _gamma_ppf(p, a)
+    raise ValueError(
+        f"unsupported distribution {distribution!r} "
+        "(norm|uniform|expon|lognorm|chi2|gamma)"
+    )
+
+
+def parameterized_ks_test_metric(
+    column: str,
+    distribution: str,
+    params: dict[str, float],
+    n_probes: int = 20,
+) -> AggMetric:
+    """KS of the column against a parameterized distribution, probed at the
+    distribution's own interior quantile points x_j = ppf(j / n_probes):
+    there the reference CDF is EXACTLY j/n_probes, so each probe needs one
+    ``sum(when(col <= x_j))`` scalar expr in the bundle and no driver-side
+    CDF evaluation at all. D is a lower bound of the sup-statistic that
+    tightens as n_probes grows (default 20 ⇒ resolution 0.05)."""
+    levels = [(j + 1) / (n_probes + 1) for j in range(n_probes)]
+    probes = [distribution_ppf(distribution, p, params) for p in levels]
+
+    c = F.col(column).cast("double")
+    nn_alias = safe_alias("pksnn", column)
+    exprs: dict[str, Any] = {nn_alias: F.count(F.col(column))}
+    cum_aliases: list[str] = []
+    for i, x in enumerate(probes):
+        a = safe_alias("pkscum", column, distribution, i, n_probes)
+        cum_aliases.append(a)
+        exprs[a] = F.sum(
+            F.when(F.col(column).isNotNull() & (c <= F.lit(float(x))), 1)
+            .otherwise(0)
+        )
+
+    def _d(vals: dict[str, Any]) -> tuple[float, float]:
+        n = float(vals[nn_alias] or 0)
+        if n == 0:
+            return float("nan"), 0.0
+        ecdf = np.array([vals[a] or 0 for a in cum_aliases], dtype=float) / n
+        return float(np.abs(ecdf - np.asarray(levels)).max()), n
+
+    def fin(vals: dict[str, Any]) -> float:
+        d, n = _d(vals)
+        if math.isnan(d):
+            return float("nan")
+        sqn = math.sqrt(n)
+        return kolmogorov_sf((sqn + 0.12 + 0.11 / sqn) * d)
+
+    def details(vals: dict[str, Any]) -> dict[str, Any]:
+        d, n = _d(vals)
+        return {
+            "ks": {
+                "statistic_at_probes": None if math.isnan(d) else d,
+                "n": n,
+                "distribution": distribution,
+                "n_probes": n_probes,
+            }
+        }
+
+    return AggMetric(exprs, fin, details)

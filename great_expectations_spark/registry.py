@@ -429,8 +429,23 @@ def _ks_metric(cfg: ExpectationConfiguration):
 _p_value_compiler(
     "expect_column_chisquare_test_p_value_to_be_greater_than", _chisq_metric
 )
+def _param_ks_metric(cfg: ExpectationConfiguration):
+    from great_expectations_spark.profile import parameterized_ks_test_metric
+
+    return parameterized_ks_test_metric(
+        cfg.kwargs["column"],
+        cfg.kwargs["distribution"],
+        cfg.kwargs.get("params") or {},
+        n_probes=int(cfg.kwargs.get("n_probes", 20)),
+    )
+
+
 _p_value_compiler(
     "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than", _ks_metric
+)
+_p_value_compiler(
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+    _param_ks_metric,
 )
 
 

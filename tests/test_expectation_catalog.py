@@ -484,6 +484,59 @@ def test_ks_matching_distribution_passes(spark):
     assert evr.result["details"]["ks"]["statistic_at_boundaries"] < 0.02
 
 
+def test_parameterized_ks_norm_fit_passes(spark):
+    from great_expectations_spark.profile import _norm_ppf
+
+    # deterministic perfect normal sample: inverse-CDF grid at n=200
+    vals = [5.0 + 2.0 * _norm_ppf((i + 0.5) / 200) for i in range(200)]
+    frame = spark.createDataFrame([(v,) for v in vals], "v double")
+    evr = run_one(
+        frame,
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="v",
+        distribution="norm",
+        params={"mean": 5.0, "std": 2.0},
+        p=0.05,
+    )
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is True
+    assert evr.result["details"]["ks"]["statistic_at_probes"] < 0.01
+
+
+def test_parameterized_ks_wrong_distribution_fails(spark):
+    # uniform [0, 1) data claimed to be norm(5, 2): ECDF(probe around 5)
+    # is 1.0 vs CDF 0.5 → D ≈ 0.5 at n=400 → p ≈ 0
+    frame = spark.createDataFrame(
+        [((i % 100) / 100.0,) for i in range(400)], "v double"
+    )
+    evr = run_one(
+        frame,
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="v",
+        distribution="norm",
+        params={"mean": 5.0, "std": 2.0},
+        p=0.05,
+    )
+    assert evr.success is False
+    assert evr.result["observed_value"] < 1e-10
+
+
+def test_parameterized_ks_expon_fit(spark):
+    import math
+
+    vals = [-2.0 * math.log(1 - (i + 0.5) / 150) for i in range(150)]
+    frame = spark.createDataFrame([(v,) for v in vals], "v double")
+    evr = run_one(
+        frame,
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="v",
+        distribution="expon",
+        params={"scale": 2.0},
+        p=0.05,
+    )
+    assert evr.success is True
+
+
 def test_ks_shifted_distribution_fails(spark):
     # all mass in the lower half of the claimed range
     frame = spark.createDataFrame([(float(i % 50),) for i in range(400)], "v double")
