@@ -648,6 +648,24 @@ def q_param_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cramers_phi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's phi between orders.o_orderstatus and o_orderpriority through
+    the expectation (one groupBy job + driver chi2); the full-grid
+    contingency chi2 has a closed-form DuckDB oracle."""
+    from great_expectations_spark import ExpectationSuite, validate
+
+    orders = _load(spark, sf_dir, "orders")
+    suite = ExpectationSuite("phi")
+    suite.add(
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="o_orderstatus", column_B="o_orderpriority", threshold=0.5,
+    )
+    evr = validate(orders, suite).results[0]
+    return spark.createDataFrame(
+        [(round(float(evr.result["observed_value"]), 6),)], "phi double"
+    )
+
+
 def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median + unique_proportion + values_between_count through the
     engine's aggregate metrics (functions/aggregates.py), one bundled agg."""
@@ -856,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_stat": q_chisq_stat,
         "ks_boundary_stat": q_ks_boundary_stat,
         "param_ks_stat": q_param_ks_stat,
+        "cramers_phi": q_cramers_phi,
         "agg_extras": q_agg_extras,
         "most_common_value": q_most_common_value,
         "rowcount_vs_other": q_rowcount_vs_other,
@@ -1098,6 +1117,24 @@ def oracle_sql() -> dict[str, str]:
             "abs(e3/CAST(n AS DOUBLE) - 0.75), "
             "abs(e4/CAST(n AS DOUBLE) - 1.0)), 6) AS ks_stat, "
             "CAST(n AS BIGINT) AS n FROM c"
+        ),
+        "cramers_phi": (
+            "WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b, "
+            "CAST(count(*) AS DOUBLE) AS c FROM orders WHERE o_orderstatus IS "
+            "NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1, 2), "
+            "rt AS (SELECT a, sum(c) AS ra FROM cells GROUP BY a), "
+            "ct AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b), "
+            "tot AS (SELECT sum(c) AS nn, count(*) FROM cells), "
+            "dims AS (SELECT (SELECT count(*) FROM rt) AS r, "
+            "(SELECT count(*) FROM ct) AS cc) "
+            "SELECT round(sqrt(sum("
+            "(coalesce(cells.c, 0) - rt.ra*ct.cb/tot.nn)"
+            "*(coalesce(cells.c, 0) - rt.ra*ct.cb/tot.nn)"
+            "/(rt.ra*ct.cb/tot.nn)) "
+            "/ (max(tot.nn) * (least(max(dims.r), max(dims.cc)) - 1))), 6) "
+            "AS phi FROM rt CROSS JOIN ct "
+            "LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b "
+            "CROSS JOIN tot CROSS JOIN dims"
         ),
         "param_ks_stat": (
             "WITH c AS (SELECT count(l_quantity) AS n, "

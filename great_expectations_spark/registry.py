@@ -21,10 +21,11 @@ Compiled kinds:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from great_expectations_spark.functions import aggregates as A
 from great_expectations_spark.functions import conditions as C
@@ -149,6 +150,8 @@ _MAP_BUILDERS: dict[str, Callable[..., MapCondition]] = {
     "expect_column_pair_values_to_be_in_set": C.pair_in_set,
     "expect_multicolumn_sum_to_equal": C.multicolumn_sum_equal,
     "expect_select_column_values_to_be_unique_within_record": C.select_column_values_unique_within_record,
+    # legacy V2 alias of the same per-record uniqueness semantics
+    "expect_multicolumn_values_to_be_unique": C.select_column_values_unique_within_record,
     # extensions: training-data pipeline gates as first-class expectations
     "expect_column_token_counts_to_be_between": C.token_counts_be_between,
     "expect_column_vector_norms_to_be_between": C.vector_norms_be_between,
@@ -447,6 +450,66 @@ _p_value_compiler(
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
     _param_ks_metric,
 )
+
+
+@register("expect_column_pair_cramers_phi_value_to_be_less_than")
+def _compile_cramers_phi(cfg: ExpectationConfiguration) -> CompiledMeta:
+    """Cramér's phi (φ_c) association between two categorical columns.
+
+    Reference: ``expect_column_pair_cramers_phi_value_to_be_less_than``
+    (upstream PandasDataset-only; SparkDFDataset raised NotImplementedError).
+    Spark shape: ONE groupBy(A, B) job builds the contingency table (a
+    single shuffle keyed on the pair — uniform for categorical columns);
+    the χ² → φ_c arithmetic runs driver-side on the (r × c) count matrix.
+    ``max_contingency_cells`` (default 100k) guards the driver collect: a
+    pair of high-cardinality columns fails loudly instead of OOMing.
+    """
+    col_a = cfg.kwargs["column_A"]
+    col_b = cfg.kwargs["column_B"]
+    threshold = float(cfg.kwargs.get("threshold", 0.1))
+    max_cells = int(cfg.kwargs.get("max_contingency_cells", 100_000))
+
+    def run(df: DataFrame) -> tuple[bool, dict[str, Any]]:
+        import numpy as np
+
+        cells = (
+            df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .groupBy(col_a, col_b)
+            .count()
+            .limit(max_cells + 1)
+            .collect()
+        )
+        if len(cells) > max_cells:
+            raise ValueError(
+                f"contingency table {col_a}×{col_b} exceeds "
+                f"max_contingency_cells={max_cells}; Cramér's phi is a "
+                "categorical association measure — bin the columns first"
+            )
+        if not cells:
+            return False, {"observed_value": None}
+        a_vals = sorted({r[0] for r in cells}, key=str)
+        b_vals = sorted({r[1] for r in cells}, key=str)
+        ai = {v: i for i, v in enumerate(a_vals)}
+        bi = {v: i for i, v in enumerate(b_vals)}
+        m = np.zeros((len(a_vals), len(b_vals)))
+        for r in cells:
+            m[ai[r[0]], bi[r[1]]] = r[2]
+        n = m.sum()
+        expected = np.outer(m.sum(axis=1), m.sum(axis=0)) / n
+        nz = expected > 0
+        chi2 = float(((m[nz] - expected[nz]) ** 2 / expected[nz]).sum())
+        k = min(len(a_vals), len(b_vals)) - 1
+        phi = math.sqrt(chi2 / (n * k)) if k > 0 else 0.0
+        return phi < threshold, {
+            "observed_value": round(phi, 9),
+            "details": {
+                "chi2": chi2,
+                "n": float(n),
+                "shape": [len(a_vals), len(b_vals)],
+            },
+        }
+
+    return CompiledMeta(cfg=cfg, run=run)
 
 
 @register("expect_column_most_common_value_to_be_in_set")

@@ -554,6 +554,59 @@ def test_ks_shifted_distribution_fails(spark):
     assert evr.result["observed_value"] < 1e-10
 
 
+def test_cramers_phi_independent_passes(spark):
+    # fully independent pair: every (a, b) combination equally frequent
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    frame = spark.createDataFrame(rows, "a string, b string")
+    evr = run_one(
+        frame,
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="a", column_B="b", threshold=0.1,
+    )
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is True
+    assert evr.result["observed_value"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cramers_phi_perfect_association_fails(spark):
+    rows = [("x", "p")] * 50 + [("y", "q")] * 50
+    frame = spark.createDataFrame(rows, "a string, b string")
+    evr = run_one(
+        frame,
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="a", column_B="b", threshold=0.99,
+    )
+    assert evr.success is False
+    assert evr.result["observed_value"] == pytest.approx(1.0)
+
+
+def test_cramers_phi_cell_guard(spark):
+    frame = spark.createDataFrame(
+        [(str(i), str(i * 7)) for i in range(50)], "a string, b string"
+    )
+    evr = run_one(
+        frame,
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="a", column_B="b", threshold=0.5,
+        max_contingency_cells=10,
+    )
+    # guard trips -> exception EVR, suite survives
+    assert evr.success is False
+    assert evr.exception_info["raised_exception"] is True
+    assert "max_contingency_cells" in evr.exception_info["exception_message"]
+
+
+def test_multicolumn_values_to_be_unique_alias(df):
+    evr = run_one(
+        df,
+        "expect_multicolumn_values_to_be_unique",
+        column_list=["conv_id", "role"],
+    )
+    assert evr.exception_info["raised_exception"] is False
+    # rows are (conv_id, role) pairs with no within-record duplicates
+    assert evr.success is True
+
+
 # ---------------------------------------------------------------------------
 # mostly edge semantics + invariants (SURVEY.md §5 property row)
 # ---------------------------------------------------------------------------
