@@ -348,7 +348,7 @@ def main() -> None:
         # the headline north_rule metric gets one extra sample: host
         # multi-tenancy noise bursts measured 2-4x on identical jobs, and
         # the min is the cluster-representative number
-        reps = max(n_repeat, 3) if name == "suite_transcripts" else n_repeat
+        reps = max(n_repeat, 4) if name == "suite_transcripts" else n_repeat
         for _ in range(reps):
             t0 = time.monotonic()
             try:
