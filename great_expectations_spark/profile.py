@@ -564,7 +564,10 @@ def chisquare_test_metric(
             return float("nan"), 0, counts, np.zeros_like(counts)
         if other > 0 and tail_weight_holdout <= 0:
             return float("inf"), len(counts) - 1, counts, baseline * total
-        if tail_weight_holdout > 0:
+        if tail_weight_holdout > 0 and other > 0:
+            # the holdout bucket participates only when unseen values
+            # actually occur — otherwise a batch identical to the baseline
+            # would be penalized (0 observed vs holdout×total expected)
             obs = np.append(counts, other)
             exp = np.append(
                 baseline * (1.0 - tail_weight_holdout), tail_weight_holdout

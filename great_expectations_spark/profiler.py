@@ -57,6 +57,9 @@ def profile_suite(
     primary_or_compound_key: list[str] | None = None,
     value_set_threshold: str = "FEW",
     mostly_floor: float = 0.01,
+    drift_gates: bool = False,
+    drift_p: float = 0.05,
+    drift_bins: int = 5,
 ) -> ExpectationSuite:
     """Build a suite from observed data (two Spark jobs total).
 
@@ -65,6 +68,14 @@ def profile_suite(
     to keep suite JSON small — pass "MANY"/"VERY_MANY" to widen).
     ``mostly_floor``: slack subtracted from the observed non-null ratio when
     emitting ``mostly`` so the suite tolerates drift of that size.
+    ``drift_gates``: also emit statistical drift gates against the profiled
+    distribution — a chi-square p-gate per value-set column (baseline =
+    observed value frequencies, 1% tail holdout for future unseen values)
+    and a boundary-KS p-gate per numeric column (baseline CDF from the SAME
+    cumulative boundary counts the KS check reads, so the training batch
+    scores D = 0 / p = 1 by construction and only distribution SHIFT in a
+    future batch trips the gate). Adds one bundled agg job for all numeric
+    columns; the value-set pass already collects the category counts.
     """
     cols = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -144,15 +155,74 @@ def profile_suite(
     # aggregates to <=100 rows; could be fused via grouping sets if column
     # count ever makes this the bottleneck
     for c, _ in in_set_cols:
-        values = [
-            _py(r[c])
-            for r in df.filter(F.col(c).isNotNull()).select(c).distinct()
+        rows = (
+            df.filter(F.col(c).isNotNull()).groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
             .orderBy(c).limit(1001).collect()
-        ]
-        if len(values) > 1000:  # HLL undercounted a high-card column — skip
+        )
+        if len(rows) > 1000:  # HLL undercounted a high-card column — skip
             continue
+        values = [_py(r[c]) for r in rows]
         suite.add("expect_column_values_to_be_in_set", column=c,
                   value_set=values)
+        total = sum(int(r["__cnt"]) for r in rows)
+        if drift_gates and total > 0 and values:
+            suite.add(
+                "expect_column_chisquare_test_p_value_to_be_greater_than",
+                column=c,
+                partition_object={
+                    "values": values,
+                    "weights": [int(r["__cnt"]) / total for r in rows],
+                },
+                p=drift_p,
+                tail_weight_holdout=0.01,
+            )
+
+    # drift gates for numeric columns: ONE bundled agg of cumulative
+    # boundary counts for every eligible column; the emitted KS baseline is
+    # those very counts, so the gate is exactly calibrated on this batch
+    if drift_gates:
+        ks_specs: list[tuple[str, list[float]]] = []
+        ks_exprs: list[F.Column] = []
+        for i, c in enumerate(cols):
+            if not isinstance(schema[c], _NUMERIC):
+                continue
+            mn, mx = stats.get(f"mn_{i}"), stats.get(f"mx_{i}")
+            if mn is None or mx is None or not float(mx) > float(mn):
+                continue
+            lo, hi = float(mn), float(mx)
+            bins = [lo + (hi - lo) * j / drift_bins for j in range(drift_bins + 1)]
+            ks_specs.append((c, bins))
+            d = F.col(c).cast("double")
+            ks_exprs.append(F.count(F.col(c)).alias(f"ksn__{c}"))
+            for j, b in enumerate(bins):
+                ks_exprs.append(
+                    F.sum(
+                        F.when(F.col(c).isNotNull() & (d <= F.lit(b)), 1)
+                        .otherwise(0)
+                    ).alias(f"ksc__{c}__{j}")
+                )
+        if ks_exprs:
+            ks_stats = df.agg(*ks_exprs).collect()[0].asDict()
+            for c, bins in ks_specs:
+                nn = float(ks_stats[f"ksn__{c}"] or 0)
+                if nn <= 0:
+                    continue
+                cum = [float(ks_stats[f"ksc__{c}__{j}"] or 0) / nn
+                       for j in range(len(bins))]
+                weights = [cum[j + 1] - cum[j] for j in range(len(bins) - 1)]
+                if any(w < 0 for w in weights):
+                    continue
+                suite.add(
+                    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+                    column=c,
+                    partition_object={
+                        "bins": bins,
+                        "weights": weights,
+                        "tail_weights": [cum[0], 1.0 - cum[-1]],
+                    },
+                    p=drift_p,
+                )
 
     # exact uniqueness verification for HLL-flagged candidates (one pruned
     # two-column agg per candidate; emitting a false be_unique would make the

@@ -68,3 +68,45 @@ def test_profiled_suite_catches_drift(spark, tdf):
                     for r in res.results if not r.success}
     assert "expect_column_values_to_be_in_set" in failed_types
     assert "expect_column_mean_to_be_between" in failed_types
+
+
+def test_drift_gates_pass_on_training_and_holdout(spark):
+    """drift_gates=True emits chi-square + boundary-KS gates that are
+    exactly calibrated on the training batch (p = 1 there) and still pass
+    on a same-distribution holdout, but trip on a shifted batch."""
+    from pyspark.sql import functions as F
+
+    train = generate_transcripts(spark, n_turns=8_000, seed=11)
+    suite = profile_suite(train, columns=["role", "turn_idx"],
+                          drift_gates=True, drift_p=0.05)
+    types = [e.expectation_type for e in suite]
+    assert "expect_column_chisquare_test_p_value_to_be_greater_than" in types
+    assert (
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than" in types
+    )
+
+    gates = ExpectationSuite("gates")
+    for e in suite:
+        if e.expectation_type.endswith("p_value_to_be_greater_than"):
+            gates.add(e.expectation_type, **e.kwargs)
+
+    # training batch: the KS baseline is the batch's own boundary counts,
+    # so D = 0 / p = 1; the chi-square observed==expected up to the holdout
+    res = SuiteRunner(spark).validate(train, gates)
+    assert res.success, [r.result for r in res.results if not r.success]
+
+    # same-distribution holdout (different seed): should still pass
+    holdout = generate_transcripts(spark, n_turns=8_000, seed=12)
+    res2 = SuiteRunner(spark).validate(holdout, gates)
+    assert res2.success, [r.result for r in res2.results if not r.success]
+
+    # shifted batch: halve turn_idx → the KS gate must trip
+    shifted = holdout.withColumn(
+        "turn_idx", (F.col("turn_idx") / 2).cast("int")
+    )
+    res3 = SuiteRunner(spark).validate(shifted, gates)
+    ks = [r for r in res3.results
+          if r.expectation_config["expectation_type"].startswith(
+              "expect_column_bootstrapped_ks")
+          and r.expectation_config["kwargs"]["column"] == "turn_idx"]
+    assert ks and not ks[0].success
