@@ -628,3 +628,27 @@ def test_count_invariants(df):
     r = evr.result
     assert r["unexpected_count"] <= r["element_count"] - r["missing_count"]
     assert r["missing_count"] + r["unexpected_count"] <= r["element_count"]
+
+
+def test_statistical_tests_bad_kwargs_isolate(spark, df):
+    """Invalid distribution / partition_object on the statistical tests must
+    produce an exception-EVR and leave sibling expectations untouched."""
+    suite = ExpectationSuite("mixed")
+    suite.add("expect_column_values_to_not_be_null", column="conv_id")
+    suite.add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="n", distribution="weibull", params={},
+    )
+    suite.add(
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        column="role", partition_object={"values": ["a"], "weights": [0.5]},
+    )
+    out = validate(df, suite)
+    by_type = {r.expectation_config["expectation_type"]: r for r in out.results}
+    assert by_type["expect_column_values_to_not_be_null"].success is True
+    for t in (
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+    ):
+        assert by_type[t].success is False
+        assert by_type[t].exception_info["raised_exception"] is True
