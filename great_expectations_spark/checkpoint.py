@@ -87,6 +87,34 @@ EVR_ROW_SCHEMA = StructType(
 )
 
 
+def check_partitioned_layout(
+    spark: SparkSession, path: str, stale_prefix: str, expected: str
+) -> None:
+    """One-time guard against mixing two partition-directory depths under one
+    parquet root (same protection as StreamingValidator._check_layout):
+    appending the new layout into a root that already holds ``stale_prefix=``
+    top-level dirs would make the whole root unreadable ("conflicting
+    directory structures"). Raises ValueError; FS quirks never block."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(f"{stale_prefix}="):
+                raise ValueError(
+                    f"{path!r} holds a stale top-level {stale_prefix}= "
+                    f"partition layout; this sink now writes {expected}. "
+                    "Use a new path or migrate the old files first."
+                )
+    except ValueError:
+        raise
+    except Exception:  # pragma: no cover - FS quirks never block validation
+        pass
+
+
 def suite_hash(suite: ExpectationSuite) -> str:
     """Deterministic digest of the suite definition — a manifest row only
     counts as 'done' for the exact suite it was produced by."""
@@ -104,6 +132,9 @@ class PartitionRunRecord:
     rows_scanned: int = 0
     violations: int = 0
     elapsed_s: float = 0.0
+    #: for status="skipped": the manifest-recorded verdict of the run that
+    #: validated this partition (None if the manifest predates this field)
+    manifest_success: bool | None = None
 
 
 @dataclass
@@ -122,9 +153,17 @@ class CheckpointRunResult:
 
     @property
     def success(self) -> bool:
-        return all(
-            r.result.success for r in self.records if r.result is not None
-        )
+        """True only if every partition of the TABLE passed — including
+        partitions skipped on resume, judged by their manifest verdict (a
+        resumed run over a previously-FAILING table must not report
+        success just because the failing partitions were already done)."""
+        for r in self.records:
+            if r.result is not None:
+                if not r.result.success:
+                    return False
+            elif r.status == "skipped" and r.manifest_success is False:
+                return False
+        return True
 
 
 def merge_map_counts(
@@ -188,18 +227,22 @@ class Checkpoint:
         except Exception:  # noqa: BLE001 — first run: no manifest yet
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def completed_partitions(self, shash: str) -> set[str]:
+    def completed_partitions(self, shash: str) -> dict[str, bool]:
+        """{partition_id: recorded suite success} for every partition the
+        manifest marks validated under this suite hash (latest row wins —
+        dict-like a set for membership, plus the verdict for resume
+        reporting)."""
         rows = (
             self.read_manifest()
             .filter(
                 (F.col("suite_hash") == shash)
                 & (F.col("status") == "validated")
             )
-            .select("partition_id")
-            .distinct()
+            .select("partition_id", "success", "finished_ts")
+            .orderBy("finished_ts")
             .collect()
         )
-        return {r["partition_id"] for r in rows}
+        return {r["partition_id"]: bool(r["success"]) for r in rows}
 
     def _append_manifest(self, row: dict[str, Any]) -> None:
         import datetime as _dt
@@ -267,6 +310,15 @@ class Checkpoint:
         manifest row still commits only after its validation finished, so
         resume semantics are identical to the sequential path.
         """
+        if self.violations_path is not None:
+            # refuse to append partition_id=<pid>/expectation=… under a root
+            # still holding the pre-change expectation=… top-level layout
+            check_partitioned_layout(
+                self.spark,
+                self.violations_path,
+                stale_prefix="expectation",
+                expected="partition_id=<pid>/expectation=<type>/",
+            )
         shash = suite_hash(suite)
         done = self.completed_partitions(shash)
         if partition_values is None:
@@ -340,7 +392,11 @@ class Checkpoint:
             pid = str(pv)
             if pid in done:
                 out.records.append(
-                    PartitionRunRecord(partition_id=pid, status="skipped")
+                    PartitionRunRecord(
+                        partition_id=pid,
+                        status="skipped",
+                        manifest_success=done[pid],
+                    )
                 )
                 continue
             todo.append(pv)

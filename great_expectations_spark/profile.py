@@ -119,6 +119,7 @@ def build_continuous_partition_object(
     allow_relative_error: float = 0.001,
     kde_sample_limit: int = 10_000,
     seed: int = 42,
+    exact_quantiles: bool = False,
 ) -> dict[str, Any]:
     """Baseline continuous profile (reference: column.partition metric,
     ``column_partition.py`` / ``dataset/util.py`` partition builders).
@@ -126,8 +127,11 @@ def build_continuous_partition_object(
     Strategies:
     - ``uniform``: linspace over exact min/max (one bundled agg).
     - ``ntile``: approximate quantile edges (one bundled agg).
-    - ``auto``: Freedman–Diaconis ∨ Sturges bin count from EXACT
-      n/min/max/q25/q75 — one bundled agg, SQL-replicable (no sample).
+    - ``auto``: Freedman–Diaconis ∨ Sturges bin count from n/min/max/q25/q75
+      — one bundled agg, SQL-replicable. The IQR uses percentile_approx by
+      default (``exact_quantiles=True`` switches to exact ``percentile`` for
+      quantile_cont oracle parity — memory-heavy on high-cardinality
+      columns, see the inline note).
     - ``kde``: gaussian-KDE-smoothed partition (reference
       ``kde_partition_data`` used scipy.stats.gaussian_kde; scipy is not in
       this sandbox, so the scott-bandwidth gaussian-mixture CDF is computed
@@ -156,12 +160,24 @@ def build_continuous_partition_object(
         if len(edges) < 2:
             edges = [edges[0], edges[0] + 1.0] if edges else [0.0, 1.0]
     elif bins == "auto":
+        # FD bin width is insensitive to small quantile error, so the
+        # default IQR comes from percentile_approx (bounded executor memory);
+        # exact F.percentile buffers per-partition value maps — an OOM hazard
+        # on high-cardinality columns at scale — and is kept only behind
+        # ``exact_quantiles`` for SQL-oracle parity (quantile_cont).
+        if exact_quantiles:
+            q25 = F.percentile(c, F.lit(0.25))
+            q75 = F.percentile(c, F.lit(0.75))
+        else:
+            acc = max(1000, int(1.0 / max(allow_relative_error, 1e-6)))
+            q25 = F.percentile_approx(c, F.lit(0.25), acc)
+            q75 = F.percentile_approx(c, F.lit(0.75), acc)
         row = df.agg(
             F.count(c).alias("n"),
             F.min(c).alias("lo"),
             F.max(c).alias("hi"),
-            F.percentile(c, F.lit(0.25)).alias("q25"),
-            F.percentile(c, F.lit(0.75)).alias("q75"),
+            q25.alias("q25"),
+            q75.alias("q75"),
         ).collect()[0]
         if row["lo"] is None:
             return {"bins": [0.0, 1.0], "weights": [0.0], "tail_weights": [0.5, 0.5]}
@@ -563,7 +579,9 @@ def chisquare_test_metric(
         if total == 0:
             return float("nan"), 0, counts, np.zeros_like(counts)
         if other > 0 and tail_weight_holdout <= 0:
-            return float("inf"), len(counts) - 1, counts, baseline * total
+            # df clamped ≥1: a single-value partition_object would yield
+            # df=0 and turn the intended hard-fail p=0 into a ValueError
+            return float("inf"), max(1, len(counts) - 1), counts, baseline * total
         if tail_weight_holdout > 0 and other > 0:
             # the holdout bucket participates only when unseen values
             # actually occur — otherwise a batch identical to the baseline
@@ -576,7 +594,7 @@ def chisquare_test_metric(
             obs, exp = counts, baseline * total
         nz = exp > 0
         if (obs[~nz] > 0).any():
-            return float("inf"), len(obs) - 1, obs, exp
+            return float("inf"), max(1, len(obs) - 1), obs, exp
         stat = float(((obs[nz] - exp[nz]) ** 2 / exp[nz]).sum())
         return stat, max(1, len(obs) - 1), obs, exp
 

@@ -59,9 +59,22 @@ def estimate_range(
     - ``quantile``: [q(fpr/2), q(1-fpr/2)] with linear interpolation
       (numpy default — matches SQL ``quantile_cont``, so driver queries can
       oracle-check this path).
-    - ``bootstrap``: seeded resampling of the k values; the range is the
-      [fpr/2, 1-fpr/2] quantiles of the bootstrap-resample means
-      (reference bootstrap estimator semantics, numpy implementation).
+    - ``bootstrap``: seeded resampling of the k values; each resample
+      contributes a point estimate of the [fpr/2, 1-fpr/2] QUANTILES of the
+      per-batch metric values, and the range is the mean of those point
+      estimates across resamples (the reference
+      NumericMetricRangeMultiBatch bootstrap estimates the quantiles of the
+      metric distribution, NOT a CI of the mean — a CI of the mean is far
+      narrower than the batch spread and emits suites that fail on their own
+      training batches).
+
+      Small-k caveat: a bootstrap quantile POINT ESTIMATE lies inside the
+      observed sample range by construction, so with very few batches
+      (k ≤ ~5) the single most extreme training batch can still fall
+      outside the estimated range with non-trivial probability — that is
+      the estimator working as specified (bounds estimate the population
+      quantiles at the requested fpr, they are not a containment guarantee).
+      Use ``exact`` when the contract is "every training batch must pass".
     """
     v = np.asarray([x for x in values if x is not None], dtype=float)
     if v.size == 0:
@@ -75,9 +88,10 @@ def estimate_range(
     if estimator == "bootstrap":
         rng = np.random.default_rng(seed)
         idx = rng.integers(0, v.size, size=(n_resamples, v.size))
-        means = v[idx].mean(axis=1)
-        lo, hi = np.quantile(means, [a, 1.0 - a])
-        return RangeEstimate(float(lo), float(hi), v.tolist())
+        resamples = v[idx]  # (n_resamples, k)
+        lo = float(np.quantile(resamples, a, axis=1).mean())
+        hi = float(np.quantile(resamples, 1.0 - a, axis=1).mean())
+        return RangeEstimate(lo, hi, v.tolist())
     raise ValueError(f"unknown estimator {estimator!r} (exact|quantile|bootstrap)")
 
 
@@ -124,7 +138,11 @@ def multi_batch_metrics(
             _add(F.stddev_samp(d), f"{c}__stddev")
             _add(F.percentile_approx(d, 0.5, 1000), f"{c}__median")
         else:
-            _add(F.approx_count_distinct(col, 0.005), f"{c}__approx_distinct")
+            # rsd 0.05 (not tighter): HLL buffer width is (1.04/rsd)²
+            # registers; sub-1% rsd made the per-batch agg buffer carry
+            # thousands of attributes PER COLUMN (codegen OOM on wide
+            # tables — see profiler._band note)
+            _add(F.approx_count_distinct(col, 0.05), f"{c}__approx_distinct")
     rows = (
         union.groupBy("__batch_id")
         .agg(*exprs)
@@ -275,21 +293,25 @@ class RuleBasedProfiler:
                         }},
                     )
 
-        # value-set rule: union of per-batch distinct sets, one grouped job
-        for c in self.value_set_columns:
-            tagged = [
-                b.filter(F.col(c).isNotNull()).select(c) for b in batches
-            ]
-            union = reduce(lambda a, b: a.unionByName(b), tagged)
-            vals = [
-                r[c]
-                for r in union.distinct().orderBy(c)
-                .limit(self.max_value_set_size + 1).collect()
-            ]
-            if len(vals) <= self.max_value_set_size:
-                suite.add(
-                    "expect_column_values_to_be_in_set",
-                    column=c,
-                    value_set=vals,
-                )
+        # value-set rule: union of per-batch distinct sets — ONE grouping-
+        # sets job for ALL value_set_columns over the union'd batches
+        # (round-3 fusion; was one distinct().collect() per column), with
+        # the same executor-side cardinality guard the single-batch profiler
+        # uses (an over-size column is dropped before reaching the driver)
+        if self.value_set_columns:
+            from great_expectations_spark.profiler import _fused_value_counts
+
+            vcols = list(self.value_set_columns)
+            union = reduce(
+                lambda a, b: a.unionByName(b),
+                [b.select(*[F.col(c) for c in vcols]) for b in batches],
+            )
+            counts = _fused_value_counts(union, vcols, self.max_value_set_size)
+            for c in vcols:
+                if c in counts:
+                    suite.add(
+                        "expect_column_values_to_be_in_set",
+                        column=c,
+                        value_set=[v for v, _ in counts[c]],
+                    )
         return suite

@@ -52,7 +52,17 @@ def monotonic_violations(
     - in-batch duplicate (``strictly`` only): equal ``seq`` values within
       one batch, checked on the batch's SORTED sequence.
 
-    State per key is a single long (the running max), updated every batch.
+    Null ``seq`` values are IGNORED (documented semantic): a null has no
+    position in the ordering, so it can neither violate monotonicity nor
+    advance the high-water mark — callers wanting nulls surfaced should gate
+    them with a not_null expectation upstream. (A null arrives in pandas as
+    float NaN; converting it used to raise inside applyInPandasWithState and
+    kill the whole streaming query — the validator dying on dirty data.)
+
+    State per key is a single long (the running max), updated only when the
+    batch contributed at least one non-null value (an all-null or empty
+    group must not write a synthetic high-water mark of 0, which would flag
+    every later legitimate restart from 0 as a regression).
     """
     out_schema = StructType(
         [
@@ -70,7 +80,7 @@ def monotonic_violations(
         seqs: list[int] = []
         for pdf in pdfs:
             if len(pdf):
-                seqs.extend(int(s) for s in pdf[seq_col])
+                seqs.extend(int(s) for s in pdf[seq_col].dropna())
         seqs.sort()
         rows = {"key": [], "seq": [], "prev_seq": []}
         prev_in_batch: int | None = None
@@ -87,7 +97,10 @@ def monotonic_violations(
         if seqs:
             top = seqs[-1]
             last = top if last is None else max(last, top)
-        state.update((int(last if last is not None else 0),))
+        # only write state when there is a real mark to record — an
+        # empty/all-null group must not plant a spurious 0 high-water mark
+        if last is not None:
+            state.update((int(last),))
         if rows["key"]:
             yield pd.DataFrame(rows)
 

@@ -156,3 +156,52 @@ def test_concurrent_partition_run_matches_sequential(spark, tmp_path):
     r2 = conc.run(tdf, suite, run_id="r2", partition_col="bucket",
                   max_concurrent_partitions=4)
     assert len(r2.skipped) == 4 and not r2.validated
+
+
+def test_violations_path_stale_layout_refused(spark, tmp_path, suite, tdf):
+    """Round-3 guard: a pre-change violations root holding top-level
+    expectation=<type>/ dirs must be refused — appending the new
+    partition_id=<pid>/ layout on top would mix two directory depths and
+    make the whole root unreadable."""
+    import os
+
+    vroot = tmp_path / "violations"
+    (vroot / "expectation=expect_column_values_to_not_be_null").mkdir(
+        parents=True
+    )
+    ck = Checkpoint(
+        spark,
+        manifest_path=str(tmp_path / "manifest"),
+        violations_path=str(vroot),
+    )
+    with pytest.raises(ValueError, match="stale top-level expectation="):
+        ck.run(tdf, suite, run_id="r1", partition_col="day")
+
+    # a fresh root (or the new layout itself) is accepted
+    ck2 = Checkpoint(
+        spark,
+        manifest_path=str(tmp_path / "manifest2"),
+        violations_path=str(tmp_path / "violations2"),
+    )
+    out = ck2.run(tdf, suite, run_id="r1", partition_col="day")
+    assert len(out.validated) == 3
+    # re-running against the now-populated partition_id= layout still works
+    out2 = ck2.run(tdf, suite, run_id="r2", partition_col="day")
+    assert len(out2.skipped) == 3
+
+
+def test_resumed_run_reports_failed_skipped_partitions(spark, tmp_path, tdf):
+    """A resume that skips previously-FAILING partitions must not report
+    success=True just because nothing re-ran (round-3 fix: skipped records
+    now carry the manifest verdict)."""
+    failing = ExpectationSuite("always-fails")
+    failing.add("expect_column_values_to_be_between", column="turn_idx",
+                min_value=100, max_value=200)  # all rows violate
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"))
+    first = ck.run(tdf, failing, run_id="r1", partition_col="day")
+    assert first.success is False and len(first.validated) == 3
+
+    resumed = ck.run(tdf, failing, run_id="r2", partition_col="day")
+    assert len(resumed.skipped) == 3
+    assert all(r.manifest_success is False for r in resumed.skipped)
+    assert resumed.success is False

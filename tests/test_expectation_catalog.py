@@ -455,7 +455,12 @@ def test_chisquare_unseen_value_holdout(spark):
         partition_object={"values": ["a"], "weights": [1.0]},
         p=0.05,
     )
-    assert evr.success is False  # unseen "z", no holdout → stat ∞, p = 0
+    # unseen "z", no holdout → stat ∞, p = 0 — a clean hard-fail EVR, not
+    # an exception (round-3 fix: df was 0 for a 1-value partition_object and
+    # chi2_sf raised, degrading this to an exception EVR)
+    assert evr.exception_info["raised_exception"] is False
+    assert evr.success is False
+    assert evr.result["observed_value"] == 0.0
 
     evr2 = run_one(
         frame,

@@ -284,3 +284,22 @@ class TestJdbcSpec:
         out = read_batch(spark, BatchSpec(jdbc=jdbc))
         assert calls == {"format": "jdbc", "options": jdbc, "loaded": True}
         assert out.count() == 1
+
+
+def test_bootstrap_estimates_quantiles_not_mean_ci():
+    """Round-3 fix: bootstrap must estimate the [a, 1-a] QUANTILES of the
+    per-batch metric values (mean of per-resample quantile point estimates),
+    not a confidence interval of the mean — a mean-CI is far narrower than
+    the batch spread, so emitted suites failed on their own training
+    batches."""
+    v = [float(x) for x in range(1, 21)]  # 1..20, mean 10.5
+    e = estimate_range(v, estimator="bootstrap",
+                       false_positive_rate=0.1, seed=3)
+    q = estimate_range(v, estimator="quantile", false_positive_rate=0.1)
+    # the bootstrap range tracks the sample quantiles (within ~1.5 of the
+    # plug-in estimate) and covers most of the batch spread …
+    assert e.lo == pytest.approx(q.lo, abs=1.5)
+    assert e.hi == pytest.approx(q.hi, abs=1.5)
+    assert (e.hi - e.lo) > 0.6 * (max(v) - min(v))
+    # … whereas a mean-CI would be a sliver around 10.5
+    assert not (9.0 < e.lo and e.hi < 12.0)

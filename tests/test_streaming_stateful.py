@@ -147,3 +147,40 @@ def test_windowed_quality_metrics(spark, tmp_path):
     # OPEN at availableNow drain end (watermark), so only closed windows emit
     assert ("12:00:00", 10, 2) in got
     assert ("12:10:00", 10, 1) in got
+
+
+def test_monotonic_null_seq_ignored_and_no_spurious_hwm(spark, tmp_path):
+    """Regression (round-3): a null turn_idx used to arrive as NaN and kill
+    the whole streaming query via int(NaN); and an all-null group used to
+    plant a synthetic high-water mark of 0, flagging a later legitimate
+    first turn 0 as a regression. Semantics: nulls are IGNORED — they
+    neither violate nor advance state."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: c1 has a null mixed in (ignored); c3 is ALL null (no state)
+    _write(spark, src, [("c1", 1), ("c1", None), ("c1", 3), ("c3", None)])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    _drain(monotonic_violations(stream, "conv_id", "turn_idx"), out, ckpt)
+    assert (
+        spark.read.schema("key string, seq long, prev_seq long").parquet(out).count()
+        == 0
+    )
+
+    # batch 2: c3 starts at 0 — NOT a violation (no synthetic 0 HWM was
+    # written); c1 regresses to 2 — caught against the real HWM of 3
+    _write(spark, src, [("c3", 0), ("c3", 1), ("c1", 2)])
+    stream2 = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    _drain(monotonic_violations(stream2, "conv_id", "turn_idx"), out, ckpt)
+    got = {
+        (r["key"], r["seq"], r["prev_seq"])
+        for r in spark.read.schema("key string, seq long, prev_seq long")
+        .parquet(out)
+        .collect()
+    }
+    assert got == {("c1", 2, 3)}, got
