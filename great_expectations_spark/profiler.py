@@ -7,8 +7,11 @@ type- and cardinality-appropriate expectations with observed values as
 bounds. The reference resolves one metric graph per column (many small
 jobs); ours computes EVERY per-column statistic in ONE bundled ``df.agg``
 pass — count/nulls/approx-distinct/min/max/mean/stddev for all columns at
-once — plus one tiny ``groupBy`` per low-cardinality column for its value
-set. Two scans of the table total, regardless of column count.
+once — then ONE GROUPING SETS job for every low-cardinality column's value
+set and ONE fused agg for all exact-uniqueness verifications. At most four
+Spark jobs total (plus one for drift gates), regardless of column count —
+a 500-column table profiles in the same number of job submissions as a
+5-column one.
 
 Cardinality bands follow the reference's ``ProfilerCardinality``:
     NONE(0) ONE(1) TWO(2) VERY_FEW(<=10) FEW(<=100)
@@ -39,10 +42,16 @@ _TEMPORAL = (T.TimestampType, T.DateType)
 
 
 def _band(distinct: int, nonnull: int) -> str:
-    # approx_count_distinct (rsd 0.5%) can undercount a truly-unique column;
-    # a 2% margin marks the candidate, which pass 2 then verifies EXACTLY
-    # before an expect_column_values_to_be_unique is emitted
-    if nonnull and distinct >= nonnull * 0.98:
+    # approx_count_distinct can undercount a truly-unique column; a 15%
+    # margin (~3σ at the 5% rsd used in pass 1) marks the candidate, which
+    # pass 2 then verifies EXACTLY before an
+    # expect_column_values_to_be_unique is emitted — a false candidate only
+    # costs one extra countDistinct inside the fused verification job.
+    # (rsd 0.005 was a scale bug: HLL buffer size is (1.04/rsd)² registers,
+    # i.e. ~11k AGGREGATION-BUFFER ATTRIBUTES per column — a 20-column
+    # profile built a 24 MiB task binary and OOM'd codegen; rsd 0.05 is 86
+    # words/column, linear and cheap at 500 columns.)
+    if nonnull and distinct >= nonnull * 0.85:
         return "UNIQUE"
     for name, cap in CARDINALITY_BANDS:
         if distinct <= cap:
@@ -61,7 +70,8 @@ def profile_suite(
     drift_p: float = 0.05,
     drift_bins: int = 5,
 ) -> ExpectationSuite:
-    """Build a suite from observed data (two Spark jobs total).
+    """Build a suite from observed data (≤4 Spark jobs + 1 with drift
+    gates, independent of column count).
 
     ``value_set_threshold``: widest cardinality band that still gets an
     ``expect_column_values_to_be_in_set`` (reference default MANY; ours FEW
@@ -88,7 +98,7 @@ def profile_suite(
     for i, c in enumerate(cols):
         col = F.col(c)
         exprs.append(F.count(col).alias(f"nn_{i}"))
-        exprs.append(F.approx_count_distinct(col, 0.005).alias(f"ad_{i}"))
+        exprs.append(F.approx_count_distinct(col, 0.05).alias(f"ad_{i}"))
         if isinstance(schema[c], _NUMERIC + _TEMPORAL):
             exprs.append(F.min(col).alias(f"mn_{i}"))
             exprs.append(F.max(col).alias(f"mx_{i}"))
@@ -151,28 +161,29 @@ def profile_suite(
                           min_value=str(mx), max_value=str(mx))
 
     # ---- pass 2: exact value sets for the low-cardinality columns --------
-    # one job per column but each reads a single pruned column and
-    # aggregates to <=100 rows; could be fused via grouping sets if column
-    # count ever makes this the bottleneck
+    # ONE Spark job for ALL value-set columns (round-3 fusion: the previous
+    # one-groupBy-per-column shape meant hundreds of serial driver job
+    # submissions on a wide table): GROUPING SETS ((c1),(c2),…) counts every
+    # column's values in a single shuffle; grouping_id() says which column a
+    # row belongs to. A per-set window count drops any column whose TRUE
+    # cardinality exceeds 1000 (HLL undercount) BEFORE the collect, so the
+    # driver never receives more than 1000 rows per column.
+    value_counts = _fused_value_counts(df, [c for c, _ in in_set_cols], 1000)
     for c, _ in in_set_cols:
-        rows = (
-            df.filter(F.col(c).isNotNull()).groupBy(c)
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .orderBy(c).limit(1001).collect()
-        )
-        if len(rows) > 1000:  # HLL undercounted a high-card column — skip
+        if c not in value_counts:  # HLL undercounted a high-card column
             continue
-        values = [_py(r[c]) for r in rows]
+        pairs = value_counts[c]
+        values = [_py(v) for v, _ in pairs]
         suite.add("expect_column_values_to_be_in_set", column=c,
                   value_set=values)
-        total = sum(int(r["__cnt"]) for r in rows)
+        total = sum(cnt for _, cnt in pairs)
         if drift_gates and total > 0 and values:
             suite.add(
                 "expect_column_chisquare_test_p_value_to_be_greater_than",
                 column=c,
                 partition_object={
                     "values": values,
-                    "weights": [int(r["__cnt"]) / total for r in rows],
+                    "weights": [cnt / total for _, cnt in pairs],
                 },
                 p=drift_p,
                 tail_weight_holdout=0.01,
@@ -224,16 +235,20 @@ def profile_suite(
                     p=drift_p,
                 )
 
-    # exact uniqueness verification for HLL-flagged candidates (one pruned
-    # two-column agg per candidate; emitting a false be_unique would make the
-    # profiled suite fail on its own training batch)
-    for c in unique_candidates:
-        nn_d = df.filter(F.col(c).isNotNull()).select(
-            F.count(F.lit(1)).alias("nn"),
-            F.countDistinct(F.col(c)).alias("d"),
-        ).collect()[0]
-        if nn_d["d"] == nn_d["nn"]:
-            suite.add("expect_column_values_to_be_unique", column=c)
+    # exact uniqueness verification for HLL-flagged candidates, fused into
+    # ONE agg job for all candidates (emitting a false be_unique would make
+    # the profiled suite fail on its own training batch). Spark plans the
+    # multiple countDistincts via one Expand + two-phase hash aggregate —
+    # one shuffle on (gid, value) partials, spillable, no driver fan-out.
+    if unique_candidates:
+        uexprs: list[F.Column] = []
+        for i, c in enumerate(unique_candidates):
+            uexprs.append(F.count(F.col(c)).alias(f"unn_{i}"))
+            uexprs.append(F.countDistinct(F.col(c)).alias(f"ud_{i}"))
+        urow = df.agg(*uexprs).collect()[0].asDict()
+        for i, c in enumerate(unique_candidates):
+            if urow[f"ud_{i}"] == urow[f"unn_{i}"]:
+                suite.add("expect_column_values_to_be_unique", column=c)
 
     if primary_or_compound_key:
         if len(primary_or_compound_key) == 1:
@@ -243,6 +258,56 @@ def profile_suite(
             suite.add("expect_compound_columns_to_be_unique",
                       column_list=list(primary_or_compound_key))
     return suite
+
+
+def _fused_value_counts(
+    df: DataFrame, columns: list[str], max_values: int
+) -> dict[str, list[tuple[Any, int]]]:
+    """Exact (value, count) lists for many columns in ONE Spark job.
+
+    GROUPING SETS ((c1),(c2),…) aggregates every column's value counts in a
+    single Expand + hash-aggregate shuffle; ``grouping_id()`` identifies the
+    column. A window count of NON-NULL groups per grouping set drops — still
+    executor-side — every column whose true cardinality exceeds
+    ``max_values``, so a mis-classified high-cardinality column can never
+    flood the driver. Returns {column: [(value, count), …] sorted by value};
+    dropped/empty columns are absent.
+    """
+    from pyspark.sql import Window
+
+    if not columns:
+        return {}
+    k = len(columns)
+    gid_of = {c: ((1 << k) - 1) ^ (1 << (k - 1 - i))
+              for i, c in enumerate(columns)}
+    gdf = df.groupingSets(
+        [[F.col(c)] for c in columns], *[F.col(c) for c in columns]
+    ).agg(F.count(F.lit(1)).alias("__cnt"), F.grouping_id().alias("__gid"))
+    # a NULL in column c inside ITS OWN grouping set is the null-value group
+    # (excluded from value sets, like the old per-column isNotNull filter)
+    isnull = None
+    for c in columns:
+        cond = (F.col("__gid") == gid_of[c]) & F.col(c).isNull()
+        isnull = cond if isnull is None else (isnull | cond)
+    w = Window.partitionBy("__gid")
+    rows = (
+        gdf.withColumn("__vnull", isnull)
+        .withColumn(
+            "__gsz",
+            F.sum(F.when(~F.col("__vnull"), 1).otherwise(0)).over(w),
+        )
+        .filter((~F.col("__vnull")) & (F.col("__gsz") <= max_values))
+        .drop("__vnull", "__gsz")
+        .collect()
+    )
+    by_gid: dict[int, str] = {g: c for c, g in gid_of.items()}
+    out: dict[str, list[tuple[Any, int]]] = {}
+    for r in rows:
+        c = by_gid[r["__gid"]]
+        out.setdefault(c, []).append((r[c], int(r["__cnt"])))
+    for c in out:
+        out[c].sort(key=lambda p: (p[0] is None, p[0]))
+    return out
 
 
 def _py(v: Any) -> Any:

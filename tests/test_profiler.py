@@ -110,3 +110,74 @@ def test_drift_gates_pass_on_training_and_holdout(spark):
               "expect_column_bootstrapped_ks")
           and r.expectation_config["kwargs"]["column"] == "turn_idx"]
     assert ks and not ks[0].success
+
+
+def test_profile_job_count_independent_of_column_width(spark):
+    """Round-3 fusion: pass 2 runs ONE grouping-sets job for all value-set
+    columns and ONE fused agg for all unique verifications — the number of
+    driver job submissions must not grow with column count (was one job per
+    column, i.e. hundreds of serial submissions on a wide table). AQE makes
+    per-query job counts non-constant, so the assertion is COMPARATIVE:
+    tripling the column width must not change the job count."""
+    from pyspark.sql import functions as F
+
+    def wide(n_cat: int, n_uid: int, n_num: int):
+        df = spark.range(0, 500)
+        for i in range(n_cat):
+            df = df.withColumn(f"cat{i}", (F.col("id") % (3 + i)).cast("string"))
+        for i in range(n_uid):
+            df = df.withColumn(f"uid{i}", F.col("id") * (i + 1))
+        for i in range(n_num):
+            df = df.withColumn(f"num{i}", (F.col("id") * 1.5 + i))
+        return df.drop("id")
+
+    sc = spark.sparkContext
+
+    def count_jobs(df, group):
+        sc.setJobGroup(group, "profiler fusion job count")
+        try:
+            suite = profile_suite(df, value_set_threshold="FEW",
+                                  drift_gates=True)
+        finally:
+            sc.setJobGroup("", "")
+        return suite, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    _, jobs_narrow = count_jobs(wide(4, 1, 2), "profile-jobs-narrow")
+    suite, jobs_wide = count_jobs(wide(12, 4, 4), "profile-jobs-wide")
+    assert jobs_wide == jobs_narrow, (
+        f"narrow={jobs_narrow} wide={jobs_wide}: job count grew with "
+        "column width — pass-2 fusion regressed"
+    )
+
+    # and the fused path still emits the right expectations
+    in_set = {e.kwargs["column"] for e in suite
+              if e.expectation_type == "expect_column_values_to_be_in_set"}
+    assert {f"cat{i}" for i in range(12)} <= in_set
+    uniq = {e.kwargs["column"] for e in suite
+            if e.expectation_type == "expect_column_values_to_be_unique"}
+    assert {f"uid{i}" for i in range(4)} <= uniq
+    chisq = {e.kwargs["column"] for e in suite if e.expectation_type
+             == "expect_column_chisquare_test_p_value_to_be_greater_than"}
+    assert {f"cat{i}" for i in range(12)} <= chisq
+
+
+def test_fused_value_counts_guards_high_cardinality(spark):
+    """A column whose true cardinality exceeds max_values must be dropped
+    executor-side (absent from the result), never flood the driver; null
+    values are excluded from value sets."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.profiler import _fused_value_counts
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 4).cast("string").alias("lo"),
+        F.col("id").cast("string").alias("hi"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3).alias("withnull"),
+    )
+    out = _fused_value_counts(df, ["lo", "hi", "withnull"], max_values=100)
+    assert "hi" not in out
+    assert sorted(v for v, _ in out["lo"]) == ["0", "1", "2", "3"]
+    assert all(cnt == 500 for _, cnt in out["lo"])
+    # nulls excluded: 1000 non-null rows over values 0,1,2
+    assert [v for v, _ in out["withnull"]] == [0, 1, 2]
+    assert sum(cnt for _, cnt in out["withnull"]) == 1000
