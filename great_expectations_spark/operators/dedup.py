@@ -98,6 +98,20 @@ def _norm(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def _md5num(c: Column) -> Column:
+    """60-bit numeric hash from the first 15 hex digits of md5 — chosen
+    because it is reproducible in ANSI/DuckDB SQL
+    (``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), which lets the
+    driver oracle-check the whole LSH pipeline. xxhash64 stays the
+    production default (one JVM intrinsic vs md5's digest + hex + conv)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+
+
 def shingle_hash_set(
     text_col: str | Column,
     shingle_size: int = 5,
@@ -165,9 +179,15 @@ def minhash_signatures(
     n_hashes: int = 128,
     shingle_size: int = 5,
     mode: str = "char",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature: array<bigint>[n_hashes]) — docs with no shingles
     (empty/short text) are excluded (they cannot near-dup meaningfully).
+
+    ``hash_fn='md5'`` swaps every hash for the SQL-reproducible
+    :func:`_md5num` form (shingle → md5num(gram); permutation i →
+    md5num(shingle_hash || '#' || i)) so a DuckDB oracle can recompute the
+    identical signatures; xxhash64 remains the production default.
 
     NOT the nested higher-order-function form (``transform(seq, i ->
     array_min(transform(s, h -> xxhash64(h, i))))``): Catalyst interprets
@@ -182,7 +202,17 @@ def minhash_signatures(
     # in GenerateExec and the substring+xxhash64 projection is whole-stage
     # codegen. array_distinct is dropped on purpose: min over a multiset
     # equals min over its set, so duplicate shingles can't change minima.
+    _check_hash_fn(hash_fn)
     k = int(shingle_size)
+
+    def gram_hash(gram: Column) -> Column:
+        return F.xxhash64(gram) if hash_fn == "xxhash64" else _md5num(gram)
+
+    def perm_hash(sh: Column, i: int) -> Column:
+        if hash_fn == "xxhash64":
+            return F.xxhash64(sh, F.lit(i))
+        return _md5num(F.concat_ws("#", sh.cast("string"), F.lit(str(i))))
+
     base = (
         _ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(F.col(id_col), _norm(F.col(text_col)).alias("__t"))
@@ -197,7 +227,7 @@ def minhash_signatures(
             "__t",
         ).select(
             id_col,
-            F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("__sh"),
+            gram_hash(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("__sh"),
         )
     elif mode == "word":
         base = base.select(
@@ -211,14 +241,14 @@ def minhash_signatures(
             "__toks",
         ).select(
             id_col,
-            F.xxhash64(
+            gram_hash(
                 F.concat_ws(" ", F.slice("__toks", F.col("__p"), F.lit(k)))
             ).alias("__sh"),
         )
     else:
         raise ValueError("mode must be 'char' or 'word'")
     aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__m{i}")
+        F.min(perm_hash(F.col("__sh"), i)).alias(f"__m{i}")
         for i in range(n_hashes)
     ]
     return (
@@ -244,8 +274,13 @@ def minhash_lsh_candidates(
     min_jaccard: float | None = 0.8,
     max_bucket_size: int = 5000,
     persist: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    ``hash_fn='md5'`` makes every hash (shingle, permutation, band) the
+    SQL-reproducible md5-derived form — see :func:`_md5num` — so the whole
+    candidate pipeline can be oracle-checked in DuckDB.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, where est_jaccard is
     the fraction of equal signature components (the unbiased MinHash
@@ -273,6 +308,7 @@ def minhash_lsh_candidates(
     At warehouse scale, write the signature table to storage instead of
     caching (``persist=False`` + your own materialization).
     """
+    _check_hash_fn(hash_fn)
     if n_hashes % bands != 0:
         raise ValueError("n_hashes must be divisible by bands")
     rows_per_band = n_hashes // bands
@@ -280,11 +316,12 @@ def minhash_lsh_candidates(
     from pyspark.storagelevel import StorageLevel
 
     sigs = minhash_signatures(
-        df, text_col, id_col, n_hashes, shingle_size, mode
+        df, text_col, id_col, n_hashes, shingle_size, mode, hash_fn=hash_fn
     )
     if persist:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
+    band_hasher = F.xxhash64 if hash_fn == "xxhash64" else _md5num
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col).alias("__id"),
@@ -293,7 +330,7 @@ def minhash_lsh_candidates(
                 band_idx,
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    band_hasher(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -444,9 +481,18 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fingerprint: bigint) — the DataFrame-level SimHash path.
+
+    ``hash_fn='md5'``: token hashes come from :func:`_md5num` (60
+    informative bits — bit positions ≥60 then never vote positive, a
+    harmless capacity loss) so a DuckDB oracle can replay the exact
+    fingerprints.
 
     Same HOF-interpretation hazard as MinHash (see minhash_signatures):
     the Column form runs bits×|tokens| interpreted lambda evals per doc.
@@ -458,13 +504,15 @@ def simhash_fingerprints(
     (the Column form gives them fingerprint 0)."""
     from functools import reduce
 
+    _check_hash_fn(hash_fn)
+    tok_hasher = F.xxhash64 if hash_fn == "xxhash64" else _md5num
     base = _ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col), _norm(F.col(text_col)).alias("__t")
     )
     toks = (
         base.select(F.col(id_col), F.explode(F.split("__t", " ")).alias("__tok"))
         .filter(F.length("__tok") > 0)
-        .select(id_col, F.xxhash64("__tok").alias("__h"))
+        .select(id_col, tok_hasher(F.col("__tok")).alias("__h"))
     )
     votes = toks.groupBy(id_col).agg(
         *[
@@ -497,6 +545,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     max_bucket_size: int = 5000,
     persist: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole on ``chunks`` fingerprint
     chunks (a pair within Hamming distance < chunks must agree on ≥1 chunk),
@@ -511,7 +560,7 @@ def simhash_candidates(
     w = bits // chunks
     mask = (1 << w) - 1
 
-    fp = simhash_fingerprints(df, text_col, id_col, bits).select(
+    fp = simhash_fingerprints(df, text_col, id_col, bits, hash_fn=hash_fn).select(
         F.col(id_col).alias("__id"), F.col("fingerprint").alias("__fp")
     )
     if persist:
@@ -681,12 +730,23 @@ def embedding_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iter: int = 5
+    pairs: DataFrame,
+    max_iter: int = 20,
+    raise_on_nonconverged: bool = False,
 ) -> DataFrame:
     """Connected components over (id_a, id_b) duplicate edges by iterative
-    min-label propagation: every node repeatedly adopts the smallest label
-    among itself and its neighbors. Duplicate clusters have tiny diameter,
-    so this converges in 2–4 rounds; each round is one shuffle.
+    min-label propagation WITH pointer jumping: every node adopts the
+    smallest label among itself and its neighbors, then each label is
+    shortcut to its label's label (path halving). Neighbor propagation
+    alone moves a label ONE hop per round — a duplicate CHAIN of length d
+    (drifting boilerplate) needs d rounds; the pointer jump makes effective
+    distance shrink geometrically, so even long chains converge in
+    O(log d) rounds. Each round is two shuffles on uniform id keys.
+
+    Convergence contract (round-3): the loop runs TO CONVERGENCE (a round
+    with zero label changes) up to ``max_iter`` rounds. If the cap trips
+    first, the result is under-merged; that is never silent —
+    ``warnings.warn`` fires (or ValueError with ``raise_on_nonconverged``).
 
     Returns (id, cluster_id) for every node that appears in any pair.
 
@@ -697,6 +757,8 @@ def duplicate_clusters(
     exponentially deepening DAG (round-1's dominant bench cost). Edges are
     persisted once (reused every round) and released on exit.
     """
+    import warnings
+
     from pyspark import StorageLevel
 
     edges = (
@@ -714,13 +776,14 @@ def duplicate_clusters(
             .withColumn("cluster_id", F.col("id"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(max_iter):
+        converged = False
+        for it in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nmin"))
             )
-            new_labels = (
+            propagated = (
                 labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
                 .select(
                     "id",
@@ -729,10 +792,34 @@ def duplicate_clusters(
                         F.coalesce(F.col("nmin"), F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                # truncate lineage: one materialization per round, reused by
-                # both the convergence check and the next round's joins
-                .localCheckpoint(eager=True)
             )
+            # pointer jump (path halving): cluster_id ← label[cluster_id].
+            # Every label is itself a node id, so the self-join resolves for
+            # any non-root label; roots (label == own id) pass through.
+            # Skipped in round 0: tiny-diameter clusters (the common web-dup
+            # case) converge in 1-2 neighbor rounds and would pay the extra
+            # join for nothing; chains only benefit from round 2 on, and
+            # geometric halving from there keeps the O(log d) bound.
+            if it > 0:
+                parents = propagated.select(
+                    F.col("id").alias("__pid"),
+                    F.col("cluster_id").alias("__plabel"),
+                )
+                propagated = (
+                    propagated.join(
+                        parents, propagated.cluster_id == parents.__pid, "left"
+                    )
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("cluster_id"),
+                            F.coalesce(F.col("__plabel"), F.col("cluster_id")),
+                        ).alias("cluster_id"),
+                    )
+                )
+            # truncate lineage: one materialization per round, reused by
+            # both the convergence check and the next round's joins
+            new_labels = propagated.localCheckpoint(eager=True)
             # convergence check: one cheap count per round over checkpointed
             # inputs (no recomputation)
             changed = (
@@ -744,7 +831,18 @@ def duplicate_clusters(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            msg = (
+                f"duplicate_clusters did not converge within max_iter="
+                f"{max_iter} rounds; labels are UNDER-MERGED (a duplicate "
+                "component wider than the cap remains split). Raise "
+                "max_iter or pre-filter degenerate candidate pairs."
+            )
+            if raise_on_nonconverged:
+                raise ValueError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return labels
     finally:
         edges.unpersist()

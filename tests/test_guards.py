@@ -174,3 +174,27 @@ def test_token_count_and_vector_norm_expectations(spark):
     assert r2["unexpected_count"] == 1 and r2["missing_count"] == 1
     # observed value for the violating row is the norm itself
     assert res2.results[0].result["partial_unexpected_list"] == [5.0]
+
+
+def test_duplicate_clusters_long_chain_converges_or_warns(spark):
+    """Round-3 convergence contract: a duplicate CHAIN longer than the old
+    cap must either fully merge (pointer jumping gives O(log d) rounds) or
+    warn loudly — silent under-merge is the failure mode being pinned."""
+    import warnings
+
+    from great_expectations_spark.operators.dedup import duplicate_clusters
+
+    # chain 0-1-2-...-14: diameter 14 > the old max_iter=5
+    chain = [(i, i + 1) for i in range(14)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any non-convergence warning fails
+        labels = duplicate_clusters(pairs)
+    assert {r["cluster_id"] for r in labels.collect()} == {0}
+
+    # capped run: must NOT silently return under-merged labels
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1)
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1, raise_on_nonconverged=True)
