@@ -398,10 +398,116 @@ class TestMultimodal:
         n = math.sqrt(sum(x * x for x in f1[0]))
         assert n == pytest.approx(1.0, abs=1e-5)
 
-    def test_real_codec_raises(self, spark):
-        media = M.synthesize_media_table(spark, 2)
-        with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-            M.decode_image_features(media, codec="real").collect()
+    def test_real_codec_flags_undecodable(self, spark):
+        """codec='real' on non-image bytes: the ROW fails (decode_ok=0,
+        zero features), the JOB survives — the validator convention.
+        (Round 3 replaced the NotImplementedError stub with actual
+        pure-numpy PPM/BMP decoding.)"""
+        media = M.synthesize_media_table(spark, 2)  # sha256-text payloads
+        rows = M.decode_image_features(media, codec="real").collect()
+        assert all(r["decode_ok"] == 0 for r in rows)
+        assert all(all(x == 0.0 for x in r["features"]) for r in rows)
+
+    # ---- round-3 real codecs (pure numpy: PPM P6 / BMP 24-bit / WAV) ----
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+        payload = M.encode_ppm(img)
+        assert payload.startswith(b"P6\n9 7\n255\n")
+        back, end = M.decode_ppm(payload)
+        assert end == len(payload)
+        assert (back == img).all()
+        # comment + multi-whitespace header form also parses
+        weird = b"P6 # cmt\n 9\t7 # c2\n255\n" + img.tobytes()
+        assert (M.decode_ppm(weird)[0] == img).all()
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        rng = np.random.default_rng(6)
+        # width 3 → row bytes 9 → 3 pad bytes per row: the classic bug site
+        img = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+        payload = M.encode_bmp(img)
+        assert payload[:2] == b"BM"
+        assert (M.decode_bmp(payload) == img).all()
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        mono = rng.integers(-32768, 32767, size=200, dtype=np.int16)
+        samples, rate = M.decode_wav(M.encode_wav(mono, 8000))
+        assert rate == 8000 and samples.shape == (200, 1)
+        assert (samples[:, 0] == mono).all()
+        stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+        samples2, rate2 = M.decode_wav(M.encode_wav(stereo, 44100))
+        assert rate2 == 44100 and samples2.shape == (50, 2)
+        assert (samples2 == stereo).all()
+
+    def test_real_resize_and_features(self, spark):
+        import numpy as np
+
+        imgs = [np.full((6, 8, 3), i * 40, dtype=np.uint8) for i in range(3)]
+        media = spark.createDataFrame(
+            [(i, M.encode_ppm(im)) for i, im in enumerate(imgs)],
+            "media_id long, media binary",
+        )
+        out = {r["media_id"]: r for r in
+               M.resize_images(media, 4, 3, codec="real").collect()}
+        for i in range(3):
+            back, _ = M.decode_ppm(bytes(out[i]["media"]))
+            assert back.shape == (3, 4, 3)
+            assert (back == i * 40).all()  # constant fill survives resample
+
+        feats = {r["media_id"]: r for r in
+                 M.decode_image_features(media, dim=8, codec="real").collect()}
+        for i in range(3):
+            assert feats[i]["decode_ok"] == 1
+            w, h, mr = feats[i]["features"][:3]
+            assert (w, h) == (8.0, 6.0)
+            assert mr == pytest.approx(i * 40.0)
+
+    def test_real_frame_sampling_concatenated_ppm(self, spark):
+        import numpy as np
+
+        frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in range(10)]
+        stream = b"".join(M.encode_ppm(f) for f in frames)
+        media = spark.createDataFrame(
+            [(1, stream)], "media_id long, media binary"
+        )
+        out = sorted(
+            M.sample_frames(media, 4, codec="real").collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert len(out) == 4
+        vals = [M.decode_ppm(bytes(r["frame"]))[0][0, 0, 0] for r in out]
+        assert vals == [0, 3, 6, 9]  # evenly spaced over the 10 frames
+
+    def test_decode_stats_oracle_forms(self, spark):
+        """decode_image_stats / decode_audio_stats recover the closed-form
+        dims/fill the synth tables encode (the driver-oracle contract)."""
+        ids = spark.range(0, 20).select(F.col("id").alias("media_id"))
+        for fmt in ("ppm", "bmp"):
+            stats = M.decode_image_stats(
+                M.synthesize_real_image_table(ids, fmt=fmt)
+            ).collect()
+            for r in stats:
+                i = r["media_id"]
+                assert r["decode_ok"] == 1
+                assert (r["width"], r["height"]) == (8 + i % 5, 6 + i % 3)
+                assert r["mean_pixel"] == pytest.approx(float(i % 256))
+        audio = M.decode_audio_stats(
+            M.synthesize_real_audio_table(ids)
+        ).collect()
+        for r in audio:
+            i = r["media_id"]
+            assert r["decode_ok"] == 1
+            assert r["n_samples"] == 100 + i % 50
+            assert r["sample_rate"] == 16000 and r["n_channels"] == 1
+            assert r["mean_abs"] == pytest.approx(abs((i % 1000) - 500))
 
     def test_resize_shape(self, spark):
         media = M.synthesize_media_table(spark, 4)
