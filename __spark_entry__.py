@@ -276,24 +276,31 @@ def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (xxhash64-based → no SQL oracle;
-    rows-only driver check)."""
+    """MinHash-LSH candidate pairs through the FULL engine pipeline
+    (operators/dedup.py::minhash_lsh_candidates) in ``hash_fn='md5'`` mode —
+    every hash (shingle → permutation → band) is the md5-derived 60-bit
+    form DuckDB can replay, so the whole shingling→signature→banding→
+    bucket-join→estimate pipeline is oracle-checked end to end (round-3:
+    was rows-only with xxhash64). Production default stays xxhash64."""
     from great_expectations_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _load(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(
-        docs, "text", "doc_id", n_hashes=64, bands=16, shingle_size=4,
-        min_jaccard=0.8,
+        docs, "text", "doc_id", n_hashes=32, bands=8, shingle_size=4,
+        min_jaccard=0.8, hash_fn="md5",
     )
     return cand.agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    """SimHash near-dup pairs within Hamming distance 3, ``hash_fn='md5'``
+    (oracle-checked fingerprints/chunks/hamming in DuckDB — round 3)."""
     from great_expectations_spark.operators.dedup import simhash_candidates
 
     docs = _load(spark, sf_dir, "documents")
-    pairs = simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+    pairs = simhash_candidates(
+        docs, "text", "doc_id", max_hamming=3, hash_fn="md5"
+    )
     return pairs.agg(F.count(F.lit(1)).cast("long").alias("simhash_pairs"))
 
 
@@ -317,6 +324,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features", F.lit(0.0),
             lambda acc, x: acc + (x * x).cast("double"),
         )), 3).alias("sum_sq_norm"),
+    )
+
+
+def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end (round 3 de-stub): encode one actual
+    PPM P6 per document (dims/fill are closed forms of doc_id), decode with
+    the pure-numpy parser (operators/multimodal.py::decode_ppm), aggregate
+    the recovered metadata. The oracle recomputes the same sums directly
+    from the doc_id arithmetic — any header/pixel-layout bug breaks the
+    hash match."""
+    from great_expectations_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_real_image_table,
+    )
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_real_image_table(ids, id_col="doc_id", fmt="ppm")
+    stats = decode_image_stats(media)
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("decode_ok").cast("long").alias("decoded"),
+        F.sum("width").cast("long").alias("sum_w"),
+        F.sum("height").cast("long").alias("sum_h"),
+        F.round(F.sum("mean_pixel"), 3).alias("sum_mean"),
+    )
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV (PCM16) codec end-to-end: encode one clip per document
+    (sample count/amplitude closed forms of doc_id), decode with the
+    pure-numpy RIFF parser, aggregate recovered metadata vs the oracle's
+    direct arithmetic."""
+    from great_expectations_spark.operators.multimodal import (
+        decode_audio_stats,
+        synthesize_real_audio_table,
+    )
+
+    ids = _load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_real_audio_table(ids, id_col="doc_id")
+    stats = decode_audio_stats(media)
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("decode_ok").cast("long").alias("decoded"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+        F.min("sample_rate").cast("long").alias("rate"),
+        F.round(F.sum("mean_abs"), 3).alias("sum_mean_abs"),
     )
 
 
@@ -464,6 +517,57 @@ def q_map_json_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("js")
     )
     return _unexpected_count_df(js, C.json_parseable("js"))
+
+
+def q_map_dateutil_parseable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dateutil_parseable (Arrow pd.to_datetime UDF) on an ISO-subset
+    dataset where DuckDB ``try_cast(.. AS TIMESTAMP)`` provably agrees by
+    construction: ISO 'yyyy-MM-dd HH:mm:ss' strings parse in both, the
+    injected 'junk-<id>' rows parse in neither (round 3 — this map
+    condition previously had no driver oracle row)."""
+    from great_expectations_spark.functions import conditions as C
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ds = ev.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("junk-"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("dstr")
+    )
+    return _unexpected_count_df(ds, C.dateutil_parseable("dstr"))
+
+
+def q_map_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_json_schema (Arrow UDF) on JSON built from orders rows; every
+    4th row drops the required 's' property. The oracle counts the missing
+    field directly — agreement by construction (all 'k' are integers, all
+    's' strings, so the required-clause is the only discriminator)."""
+    from great_expectations_spark.functions import conditions as C
+
+    od = _load(spark, sf_dir, "orders")
+    js = od.select(
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.to_json(F.struct(F.col("o_orderkey").alias("k"))),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("s"),
+                )
+            )
+        )
+        .alias("js")
+    )
+    schema = {
+        "type": "object",
+        "required": ["k", "s"],
+        "properties": {"k": {"type": "integer"}, "s": {"type": "string"}},
+    }
+    return _unexpected_count_df(js, C.match_json_schema("js", schema))
 
 
 def q_map_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +853,11 @@ def q_partition_auto_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _load(spark, sf_dir, "events")
-    p = build_continuous_partition_object(ev, "value", bins="auto")
+    # exact_quantiles: the oracle's quantile_cont is the exact interpolated
+    # quantile; the production default is percentile_approx (scale-safe)
+    p = build_continuous_partition_object(
+        ev, "value", bins="auto", exact_quantiles=True
+    )
     n_bins = len(p["weights"])
     total = ev.filter(F.col("value").isNotNull()).count()
     rows = [
@@ -855,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "media_features": q_media_features,
+        "media_image_stats": q_media_image_stats,
+        "media_audio_stats": q_media_audio_stats,
         "quantiles_exact": q_quantiles_exact,
         "kl_categorical": q_kl_categorical,
         "ann_top1_arrow": q_ann_top1_arrow,
@@ -864,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "map_strftime": q_map_strftime,
         "map_json_parseable": q_map_json_parseable,
+        "map_dateutil_parseable": q_map_dateutil_parseable,
+        "map_json_schema": q_map_json_schema,
         "map_like_patterns": q_map_like_patterns,
         "map_regex_list": q_map_regex_list,
         "map_zscore": q_map_zscore,
@@ -1040,6 +1152,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE props END AS js FROM events WHERE props IS NOT NULL) "
             "SELECT CAST(count(*) FILTER (WHERE NOT json_valid(js)) AS BIGINT)"
             " AS unexpected_count FROM d"
+        ),
+        "map_dateutil_parseable": (
+            "WITH d AS (SELECT CASE WHEN event_id % 7 = 0 THEN "
+            "'junk-' || CAST(event_id AS VARCHAR) "
+            "ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS dstr "
+            "FROM events WHERE ts IS NOT NULL) "
+            "SELECT CAST(count(*) FILTER (WHERE "
+            "try_cast(dstr AS TIMESTAMP) IS NULL) AS BIGINT) "
+            "AS unexpected_count FROM d"
+        ),
+        "map_json_schema": (
+            "WITH d AS (SELECT CASE WHEN o_orderkey % 4 = 0 THEN "
+            "json_object('k', o_orderkey) "
+            "ELSE json_object('k', o_orderkey, 's', o_orderstatus) END AS js "
+            "FROM orders) "
+            "SELECT CAST(count(*) FILTER (WHERE "
+            "json_extract(js, '$.s') IS NULL) AS BIGINT) "
+            "AS unexpected_count FROM d"
         ),
         "map_like_patterns": (
             "SELECT CAST(count(*) FILTER (WHERE c_mktsegment IS NOT NULL AND "
@@ -1228,6 +1358,78 @@ def oracle_sql() -> dict[str, str]:
             " AS unexpected_count, CAST(count(*) AS BIGINT) AS element_count "
             "FROM v"
         ),
-        # minhash_pairs / simhash_pairs: xxhash64-based signatures are not
-        # reproducible in DuckDB SQL → rows-only driver check (by design).
+        # minhash_pairs / simhash_pairs run the engine in hash_fn='md5' mode
+        # (round 3): every hash is CAST('0x'||substr(md5(x),1,15) AS BIGINT),
+        # so DuckDB replays the ENTIRE LSH pipeline. The Spark-side bucket
+        # guard (max_bucket_size=5000) is a no-op at sf0.01 (500 docs), so
+        # the oracle omits it.
+        "minhash_pairs": (
+            "WITH base AS (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "eligible AS (SELECT doc_id, t FROM base WHERE length(t) >= 4), "
+            "pos AS (SELECT doc_id, t, "
+            "unnest(range(1, length(t) - 2)) AS i FROM eligible), "
+            "sh AS (SELECT doc_id, CAST('0x' || substr(md5("
+            "substr(t, CAST(i AS INT), 4)), 1, 15) AS BIGINT) AS h FROM pos), "
+            "sig AS (SELECT doc_id, p, min(CAST('0x' || substr(md5("
+            "CAST(h AS VARCHAR) || '#' || CAST(p AS VARCHAR)), 1, 15) "
+            "AS BIGINT)) AS v "
+            "FROM sh CROSS JOIN range(0, 32) AS rp(p) GROUP BY doc_id, p), "
+            "band AS (SELECT doc_id, p // 4 AS band, CAST('0x' || substr(md5("
+            "string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)), 1, 15) "
+            "AS BIGINT) AS bh FROM sig GROUP BY doc_id, p // 4), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh "
+            "AND a.doc_id < b.doc_id), "
+            "est AS (SELECT c.id_a, c.id_b, "
+            "sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 32.0 AS ej "
+            "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
+            "JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p "
+            "GROUP BY c.id_a, c.id_b) "
+            "SELECT CAST(count(*) AS BIGINT) AS candidate_pairs FROM est "
+            "WHERE ej >= 0.8"
+        ),
+        # real-codec round trips: the synth tables' dims/fill/samples are
+        # closed forms of doc_id, so the oracle needs no codec at all —
+        # if Spark's decode recovers anything else, the hash mismatches.
+        "media_image_stats": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) AS BIGINT) AS decoded, "
+            "CAST(sum(8 + doc_id % 5) AS BIGINT) AS sum_w, "
+            "CAST(sum(6 + doc_id % 3) AS BIGINT) AS sum_h, "
+            "round(sum(CAST(doc_id % 256 AS DOUBLE)), 3) AS sum_mean "
+            "FROM documents"
+        ),
+        "media_audio_stats": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) AS BIGINT) AS decoded, "
+            "CAST(sum(100 + doc_id % 50) AS BIGINT) AS sum_samples, "
+            "CAST(16000 AS BIGINT) AS rate, "
+            "round(sum(abs(CAST(doc_id % 1000 AS DOUBLE) - 500)), 3) "
+            "AS sum_mean_abs FROM documents"
+        ),
+        "simhash_pairs": (
+            "WITH base AS (SELECT doc_id, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t "
+            "FROM documents WHERE text IS NOT NULL), "
+            "tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split(t, ' ')) AS w FROM base) WHERE length(w) > 0), "
+            "th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) "
+            "AS BIGINT) AS h FROM tok), "
+            "votes AS (SELECT doc_id, i, sum(CASE WHEN "
+            "(h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM th CROSS JOIN range(0, 64) AS r(i) GROUP BY doc_id, i), "
+            "fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN "
+            "(CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) "
+            "END) AS f FROM votes GROUP BY doc_id), "
+            "ch AS (SELECT doc_id, f, c AS chunk, "
+            "(f >> CAST(c * 16 AS INT)) & 65535 AS cv "
+            "FROM fp CROSS JOIN range(0, 4) AS rc(c)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.f AS fa, b.f AS fb FROM ch a JOIN ch b ON a.chunk = b.chunk "
+            "AND a.cv = b.cv AND a.doc_id < b.doc_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS simhash_pairs FROM pairs "
+            "WHERE bit_count(xor(fa, fb)) <= 3"
+        ),
     }
