@@ -37,8 +37,20 @@ from great_expectations_spark.result import (
 from great_expectations_spark.runner import SuiteRunner, validate
 from great_expectations_spark.profiler import profile_suite
 from great_expectations_spark.rule_based_profiler import RuleBasedProfiler
+from great_expectations_spark.docs import (
+    build_data_docs,
+    render_result_html,
+    render_result_markdown,
+    render_suite_html,
+    render_suite_markdown,
+)
 
 __all__ = [
+    "build_data_docs",
+    "render_result_html",
+    "render_result_markdown",
+    "render_suite_html",
+    "render_suite_markdown",
     "profile_suite",
     "RuleBasedProfiler",
     "bind_evaluation_parameters",
