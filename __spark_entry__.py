@@ -941,6 +941,38 @@ def q_vector_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontamination.py): corpus =
+    documents, benchmark = every-20th doc; word 5-gram overlap with the
+    benchmark side broadcast. hash_fn='none' keeps raw gram strings so the
+    DuckDB oracle reproduces the join byte-for-byte (production uses
+    xxhash64; test_hashed_mode_matches_raw pins the equivalence)."""
+    from great_expectations_spark.operators import decontamination as X
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return X.contaminated_docs(
+        docs, bench, text_col="text", id_col="doc_id", n=5, hash_fn="none"
+    )
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features
+    (operators/textstats.py::repetition_profile): per-doc line stats plus
+    top-2-gram / duplicate-2,3-gram character-coverage fractions."""
+    from great_expectations_spark.operators import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")
+    rp = T.repetition_profile(docs, "text", "doc_id", top_ns=(2,), dup_ns=(2, 3))
+    return rp.select(
+        "doc_id",
+        "n_lines",
+        "top_2gram_char_frac",
+        "dup_2gram_char_frac",
+        "dup_3gram_char_frac",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_not_null": q_map_not_null,
@@ -996,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_count_gate": q_token_count_gate,
         "vector_norm_gate": q_vector_norm_gate,
+        "decontamination_hits": q_decontamination_hits,
+        "repetition_profile": q_repetition_profile,
     }
 
 
@@ -1431,5 +1465,48 @@ def oracle_sql() -> dict[str, str]:
             "AND a.cv = b.cv AND a.doc_id < b.doc_id) "
             "SELECT CAST(count(*) AS BIGINT) AS simhash_pairs FROM pairs "
             "WHERE bit_count(xor(fa, fb)) <= 3"
+        ),
+        "decontamination_hits": (
+            "WITH corpus AS (SELECT doc_id, "
+            "list_filter(string_split(trim(regexp_replace(lower(trim(text)), "
+            "'[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks "
+            "FROM documents WHERE text IS NOT NULL), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(list_slice(toks, i, i + 4), ' ') AS gram "
+            "FROM corpus, unnest(range(1, greatest(len(toks) - 3, 1))) AS t(i)), "
+            "bgrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0) "
+            "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hit_grams "
+            "FROM grams g JOIN bgrams b USING (gram) GROUP BY g.doc_id"
+        ),
+        "repetition_profile": (
+            "WITH base AS (SELECT doc_id, length(text) AS n_chars, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "t -> len(t) > 0) AS toks, "
+            "list_filter(list_transform(string_split(text, chr(10)), "
+            "l -> trim(l)), l -> len(l) > 0) AS lines "
+            "FROM documents WHERE text IS NOT NULL), "
+            "bi AS (SELECT doc_id, "
+            "array_to_string(list_slice(toks, i, i + 1), ' ') AS gram "
+            "FROM base, unnest(range(1, greatest(len(toks), 1))) AS t(i)), "
+            "bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2), "
+            "bia AS (SELECT doc_id, max(cnt * len(gram)) AS topcov, "
+            "coalesce(sum(cnt * len(gram)) FILTER (WHERE cnt > 1), 0) AS dupcov "
+            "FROM bic GROUP BY 1), "
+            "tri AS (SELECT doc_id, "
+            "array_to_string(list_slice(toks, i, i + 2), ' ') AS gram "
+            "FROM base, unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)), "
+            "tric AS (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2), "
+            "tria AS (SELECT doc_id, "
+            "coalesce(sum(cnt * len(gram)) FILTER (WHERE cnt > 1), 0) AS dupcov "
+            "FROM tric GROUP BY 1) "
+            "SELECT b.doc_id, CAST(len(b.lines) AS BIGINT) AS n_lines, "
+            "CASE WHEN b.n_chars > 0 THEN CAST(coalesce(bia.topcov, 0) AS DOUBLE) "
+            "/ b.n_chars ELSE 0.0 END AS top_2gram_char_frac, "
+            "CASE WHEN b.n_chars > 0 THEN CAST(coalesce(bia.dupcov, 0) AS DOUBLE) "
+            "/ b.n_chars ELSE 0.0 END AS dup_2gram_char_frac, "
+            "CASE WHEN b.n_chars > 0 THEN CAST(coalesce(tria.dupcov, 0) AS DOUBLE) "
+            "/ b.n_chars ELSE 0.0 END AS dup_3gram_char_frac "
+            "FROM base b LEFT JOIN bia USING (doc_id) "
+            "LEFT JOIN tria USING (doc_id)"
         ),
     }

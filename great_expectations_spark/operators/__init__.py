@@ -8,7 +8,9 @@ operators a 100 TB training-data pipeline needs, each expressed Spark-first:
 - :mod:`similarity` — brute-force / LSH-bucketed / IVF approximate
   nearest-neighbor search over embedding columns
 - :mod:`textstats` — language ID, quality scoring, token counting,
-  document fingerprinting
+  document fingerprinting, Gopher-style repetition profiling
+- :mod:`decontamination` — benchmark n-gram overlap detection
+  (GPT-3-style 13-gram decontamination; broadcast benchmark side)
 - :mod:`multimodal` — binary media columns: decode / resize /
   frame-sample plumbing (Arrow ``mapInPandas``; codecs stubbed in-sandbox)
 

@@ -1,0 +1,160 @@
+"""Benchmark decontamination — training⇄eval n-gram overlap detection.
+
+Implements the public n-gram-collision decontamination protocol used for
+LLM training corpora (the GPT-2/GPT-3 "13-gram overlap" method and The
+Pile's variant): normalize text, form word n-grams, and flag every training
+document that shares at least ``min_hits`` distinct n-grams with any
+document in a benchmark/eval corpus.
+
+Reference-parity note: the upstream engine (SURVEY.md §2 inventory) has no
+decontamination operator — this is part of the round brief's
+"large-scale training-data pipeline" family, alongside
+``operators/dedup.py`` and ``operators/textstats.py``.
+
+Scale shape (the asymmetry IS the design — 100 TB corpus, ~MB benchmark):
+
+- **corpus side never shuffles its text.** Word n-grams are formed inside
+  whole-stage codegen (``split`` → ``sequence`` → ``transform`` →
+  ``array_distinct``) and exploded through a single GenerateExec into a
+  slim ``(id, gram)`` pair stream; when ``hash_fn='xxhash64'`` the gram is
+  reduced to 8 bytes before anything leaves the scan stage.
+- **benchmark side is always broadcast.** Eval suites are 10^4–10^6
+  distinct grams (MMLU + GSM8K + HumanEval together are a few MB) — the
+  distinct-gram relation gets an explicit ``F.broadcast`` hint, so the
+  contamination join is a broadcast-hash semi/inner join: zero shuffle of
+  the 100 TB side, no skew surface.
+- the only shuffle in the whole pipeline is the final per-doc hit-count
+  ``groupBy(id)`` over matched pairs — a vanishingly small fraction of
+  corpus rows (matches only).
+
+The per-call default keeps raw gram strings (``hash_fn='none'``) so results
+are byte-reproducible in ANSI SQL / DuckDB for the oracle harness;
+production at scale should pass ``hash_fn='xxhash64'`` for the slim pair
+stream (identical semantics modulo the ~2^-64 collision rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "word_ngrams",
+    "ngram_rows",
+    "contaminated_docs",
+    "decontaminate",
+]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _check_hash_fn(hash_fn: str) -> None:
+    if hash_fn not in ("none", "xxhash64"):
+        raise ValueError("hash_fn must be 'none' or 'xxhash64'")
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """Decontamination normalization: lowercase, strip punctuation to
+    spaces, collapse whitespace — so formatting/casing differences between
+    a training copy and the eval original still collide."""
+    c = F.lower(F.trim(_c(text_col)))
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def word_ngrams(text_col: str | Column, n: int = 13) -> Column:
+    """Distinct space-joined word ``n``-grams of the normalized text as
+    ``array<string>``. Documents with fewer than ``n`` words return an
+    empty array (they cannot be contaminated at this n)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(normalize_text(text_col), " ")
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    hash_fn: str = "none",
+) -> DataFrame:
+    """``(id, gram)`` rows — one per distinct word n-gram per document.
+
+    The gram column is the raw string (``hash_fn='none'``) or its
+    ``xxhash64`` (slim 8-byte shuffle rows for the 100 TB path). The
+    explode runs through one GenerateExec per scan partition; nothing
+    here shuffles.
+    """
+    _check_hash_fn(hash_fn)
+    out = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    if hash_fn == "xxhash64":
+        out = out.select("__id", F.xxhash64("gram").alias("gram"))
+    return out
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+    hash_fn: str = "none",
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """Documents in ``corpus`` sharing ≥ ``min_hits`` distinct word
+    n-grams with ``benchmark``. Returns ``(id_col, hit_grams)``.
+
+    The benchmark's distinct-gram relation is explicitly broadcast —
+    the corpus side joins without shuffling (see module docstring).
+    """
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    bench_grams = (
+        ngram_rows(
+            benchmark, benchmark_text_col or text_col, id_col, n, hash_fn
+        )
+        .select("gram")
+        .distinct()
+    )
+    corpus_grams = ngram_rows(corpus, text_col, id_col, n, hash_fn)
+    hits = corpus_grams.join(F.broadcast(bench_grams), on="gram", how="inner")
+    return (
+        hits.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+        .filter(F.col("hit_grams") >= min_hits)
+        .select(F.col("__id").alias(id_col), "hit_grams")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+    hash_fn: str = "xxhash64",
+    benchmark_text_col: str | None = None,
+) -> DataFrame:
+    """``corpus`` minus contaminated documents (broadcast left-anti join
+    on the contaminated-id set — null-id rows are never flagged, matching
+    the "cannot be contaminated" semantics of a doc with no grams)."""
+    flagged = contaminated_docs(
+        corpus, benchmark, text_col, id_col, n, min_hits, hash_fn,
+        benchmark_text_col,
+    ).select(id_col)
+    return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")

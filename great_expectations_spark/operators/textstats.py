@@ -240,6 +240,154 @@ def kgram_fingerprint_rows(
     return selected.unionByName(fallback)
 
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7),
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style; Rae et al.
+    2021 appendix A1.1 "repetitious text" filters, as popularized for LLM
+    corpus curation):
+
+    - ``dup_line_frac`` — fraction of (trimmed, non-empty) lines that are
+      repeat occurrences: ``(total_lines - distinct_lines) / total_lines``
+    - ``dup_line_char_frac`` — characters inside lines that occur more
+      than once (ALL their occurrences) / total line characters
+    - ``top_{n}gram_char_frac`` (n ∈ ``top_ns``) — the largest
+      character coverage of any single word n-gram:
+      ``max over grams of (count × gram_chars) / text_chars``. Defined as
+      the max of the product (not "count of the argmax gram") so the value
+      is deterministic under count ties with different gram lengths.
+    - ``dup_{n}gram_char_frac`` (n ∈ ``dup_ns``) — characters covered by
+      word n-grams occurring more than once, counting every occurrence:
+      ``sum over grams with count>1 of (count × gram_chars) / text_chars``.
+      Overlapping occurrences are NOT de-overlapped (the exact Gopher
+      variant marks character positions); this standard approximation can
+      exceed 1.0 on pathologically repetitive docs — callers threshold,
+      not sum, these fractions.
+
+    ``text_chars`` is the raw text length; gram chars are the
+    space-joined lowercase gram length.
+
+    Scale shape: ONE stacked explode produces ``(id, n, gram)`` rows for
+    every requested n (single GenerateExec, codegen upstream), then two
+    keyed aggregations ``(id, n, gram) → (id, n) → (id)`` — all slim rows
+    on the uniform document-id key, no skew surface, no collect. Returns
+    one row per non-null-text input doc.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or min(ns) < 1:
+        raise ValueError("top_ns/dup_ns must contain integers >= 1")
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("__t"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    def _gram_at(n: int):
+        # single-arg lambda factory — a 2-arg lambda (even via a default)
+        # would be bound by PySpark's HOF machinery as (element, index)
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+        )
+
+    stacked = []
+    for n in ns:
+        n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        grams_n = F.transform(F.sequence(F.lit(1), n_grams), _gram_at(n))
+        stacked.append(
+            F.when(n_grams <= 0, F.array().cast(
+                "array<struct<n:int,gram:string>>")).otherwise(grams_n)
+        )
+    gram_rows = base.select(
+        "__id", F.explode(F.concat(*stacked)).alias("g")
+    ).select("__id", F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram"))
+
+    per_gram = gram_rows.groupBy("__id", "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cov = F.col("__cnt") * F.length("__gram")
+    per_n = per_gram.groupBy("__id", "__n").agg(
+        F.max(cov).alias("__top_cov"),
+        F.coalesce(
+            F.sum(F.when(F.col("__cnt") > 1, cov)), F.lit(0)
+        ).alias("__dup_cov"),
+    )
+    gram_aggs = [
+        F.coalesce(
+            F.first(F.when(F.col("__n") == n, F.col("__top_cov")), ignorenulls=True),
+            F.lit(0),
+        ).alias(f"__top_{n}")
+        for n in top_ns
+    ] + [
+        F.coalesce(
+            F.first(F.when(F.col("__n") == n, F.col("__dup_cov")), ignorenulls=True),
+            F.lit(0),
+        ).alias(f"__dup_{n}")
+        for n in dup_ns
+    ]
+    gram_stats = per_n.groupBy("__id").agg(*gram_aggs)
+
+    lines = F.filter(
+        F.transform(F.split(F.col("__t"), r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    line_rows = base.select("__id", F.explode(lines).alias("__line"))
+    per_line = line_rows.groupBy("__id", "__line").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    line_cov = F.col("__cnt") * F.length("__line")
+    line_stats = per_line.groupBy("__id").agg(
+        F.sum("__cnt").alias("__n_lines"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+        F.coalesce(
+            F.sum(F.when(F.col("__cnt") > 1, line_cov)), F.lit(0)
+        ).alias("__dup_line_cov"),
+        F.sum(line_cov).alias("__line_chars"),
+    )
+
+    out = (
+        base.select("__id", "n_chars")
+        .join(line_stats, "__id", "left")
+        .join(gram_stats, "__id", "left")
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den
+    ).otherwise(F.lit(0.0))
+    proj = [
+        F.col("__id").alias(id_col),
+        F.col("n_chars"),
+        F.coalesce(F.col("__n_lines"), F.lit(0)).alias("n_lines"),
+        frac(
+            F.coalesce(F.col("__n_lines") - F.col("__n_distinct"), F.lit(0)),
+            F.coalesce(F.col("__n_lines"), F.lit(0)),
+        ).alias("dup_line_frac"),
+        frac(
+            F.coalesce(F.col("__dup_line_cov"), F.lit(0)),
+            F.coalesce(F.col("__line_chars"), F.lit(0)),
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        proj.append(
+            frac(F.coalesce(F.col(f"__top_{n}"), F.lit(0)), F.col("n_chars"))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        proj.append(
+            frac(F.coalesce(F.col(f"__dup_{n}"), F.lit(0)), F.col("n_chars"))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return out.select(*proj)
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     text_col: str,

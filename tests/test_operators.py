@@ -548,3 +548,149 @@ def test_brute_force_topk_arrow_matches_expression(spark):
     ra = sorted((r.query_id, r.rank, r.neighbor_id) for r in a.collect())
     rb = sorted((r.query_id, r.rank, r.neighbor_id) for r in b.collect())
     assert ra == rb
+
+
+# ---------------------------------------------------------------------------
+# decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+class TestDecontamination:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            # 0: verbatim copy of the benchmark question (contaminated)
+            (0, "What is the capital of France? The capital of France is Paris."),
+            # 1: reformatted copy — casing/punct differ (still contaminated)
+            (1, "what is the capital of FRANCE!!! the capital of france is paris"),
+            # 2: shares a short phrase only (clean at n=5)
+            (2, "The capital of France exports wine and aerospace parts."),
+            # 3: unrelated (clean)
+            (3, "Spark compiles declarative plans into whole stage codegen."),
+            (4, None),
+            (5, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def eval_set(self, spark):
+        rows = [
+            (100, "What is the capital of France? The capital of France is Paris."),
+            (101, "How many legs does a spider have? A spider has eight legs."),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_contaminated_docs_flags_copies_only(self, corpus, eval_set):
+        from great_expectations_spark.operators import decontamination as X
+
+        got = {
+            r["doc_id"]: r["hit_grams"]
+            for r in X.contaminated_docs(corpus, eval_set, n=5).collect()
+        }
+        assert set(got) == {0, 1}
+        # doc 0 and its reformatting normalize identically -> same hit count
+        assert got[0] == got[1] > 0
+
+    def test_hashed_mode_matches_raw(self, corpus, eval_set):
+        from great_expectations_spark.operators import decontamination as X
+
+        raw = sorted(
+            X.contaminated_docs(corpus, eval_set, n=5, hash_fn="none").collect()
+        )
+        hashed = sorted(
+            X.contaminated_docs(corpus, eval_set, n=5, hash_fn="xxhash64").collect()
+        )
+        assert raw == hashed
+
+    def test_min_hits_threshold(self, corpus, eval_set):
+        from great_expectations_spark.operators import decontamination as X
+
+        all_hits = X.contaminated_docs(corpus, eval_set, n=5, min_hits=1)
+        n_grams_doc0 = all_hits.filter("doc_id = 0").collect()[0]["hit_grams"]
+        strict = X.contaminated_docs(
+            corpus, eval_set, n=5, min_hits=n_grams_doc0 + 1
+        )
+        assert strict.count() == 0
+
+    def test_decontaminate_removes_flagged(self, corpus, eval_set):
+        from great_expectations_spark.operators import decontamination as X
+
+        kept = sorted(
+            r["doc_id"]
+            for r in X.decontaminate(corpus, eval_set, n=5).collect()
+        )
+        assert kept == [2, 3, 4, 5]
+
+    def test_short_docs_cannot_be_contaminated(self, spark, eval_set):
+        from great_expectations_spark.operators import decontamination as X
+
+        tiny = spark.createDataFrame(
+            [(0, "capital of France")], "doc_id long, text string"
+        )
+        assert X.contaminated_docs(tiny, eval_set, n=5).count() == 0
+
+    def test_benchmark_side_is_broadcast(self, corpus, eval_set):
+        from great_expectations_spark.operators import decontamination as X
+
+        plan = X.contaminated_docs(corpus, eval_set, n=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the corpus (100 TB) side is the join's left child: its subtree —
+        # the lines between BroadcastHashJoin and the BroadcastExchange
+        # build side — must reach the join with NO exchange. (The benchmark
+        # side's distinct and the post-join hit-count groupBy may shuffle;
+        # both are tiny.)
+        corpus_branch = plan.split("BroadcastHashJoin")[1].split(
+            "BroadcastExchange"
+        )[0]
+        assert "Exchange hashpartitioning" not in corpus_branch, plan
+
+
+# ---------------------------------------------------------------------------
+# repetition profile (Gopher-style)
+# ---------------------------------------------------------------------------
+
+class TestRepetitionProfile:
+    def test_duplicate_lines(self, spark):
+        text = "alpha beta\ngamma delta\nalpha beta\n  \nepsilon"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        row = T.repetition_profile(df, "text", "doc_id").collect()[0]
+        # 4 non-empty lines, 3 distinct; 'alpha beta' (10 chars) twice
+        assert row["n_lines"] == 4
+        assert row["dup_line_frac"] == pytest.approx(1 / 4)
+        line_chars = 10 + 11 + 10 + 7
+        assert row["dup_line_char_frac"] == pytest.approx(20 / line_chars)
+
+    def test_top_and_dup_ngram_fracs(self, spark):
+        # 'a b' bigram occurs 3x in 'a b a b a b' (len 11)
+        df = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string"
+        )
+        row = T.repetition_profile(
+            df, "text", "doc_id", top_ns=(2,), dup_ns=(2,)
+        ).collect()[0]
+        # bigrams: 'a b' x3 (cov 9), 'b a' x2 (cov 6) -> top = 9/11
+        assert row["top_2gram_char_frac"] == pytest.approx(9 / 11)
+        # dup coverage = 9 + 6 = 15/11 (overlaps not de-overlapped; >1 ok)
+        assert row["dup_2gram_char_frac"] == pytest.approx(15 / 11)
+
+    def test_clean_doc_scores_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "every word here is used exactly once today")],
+            "doc_id long, text string",
+        )
+        row = T.repetition_profile(
+            df, "text", "doc_id", top_ns=(2,), dup_ns=(2,)
+        ).collect()[0]
+        assert row["dup_line_frac"] == 0.0
+        assert row["dup_2gram_char_frac"] == 0.0
+        assert 0.0 < row["top_2gram_char_frac"] < 0.5
+
+    def test_one_row_per_doc_and_empty_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y x y"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        out = T.repetition_profile(df, "text", "doc_id").collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+        empty = [r for r in out if r["doc_id"] == 2][0]
+        assert empty["n_lines"] == 0 and empty["dup_line_frac"] == 0.0
