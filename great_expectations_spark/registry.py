@@ -725,6 +725,125 @@ def _compile_rc_other(cfg: ExpectationConfiguration) -> CompiledRelational:
     return CompiledRelational(cfg=cfg, run=run)
 
 
+@register("expect_table_benchmark_contamination_rate_to_be_less_than")
+def _compile_contamination(cfg: ExpectationConfiguration) -> CompiledRelational:
+    """Training-data gate (extension; no upstream counterpart): the
+    fraction of documents sharing ≥ ``min_hits`` word ``n``-grams with
+    ``benchmark_table`` must stay under ``max_rate`` — the GPT-3-style
+    decontamination check as a first-class suite member
+    (:mod:`~great_expectations_spark.operators.decontamination`; the
+    benchmark side is broadcast, the batch side never shuffles)."""
+    from great_expectations_spark.operators import decontamination as X
+
+    benchmark_table = cfg.kwargs["benchmark_table"]
+    column = cfg.kwargs.get("column", "text")
+    id_column = cfg.kwargs["id_column"]
+    n = int(cfg.kwargs.get("n", 13))
+    min_hits = int(cfg.kwargs.get("min_hits", 1))
+    max_rate = float(cfg.kwargs["max_rate"])
+    hash_fn = cfg.kwargs.get("hash_fn", "xxhash64")
+
+    def _flagged(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
+        return X.contaminated_docs(
+            df, tables[benchmark_table], text_col=column, id_col=id_column,
+            n=n, min_hits=min_hits, hash_fn=hash_fn,
+            benchmark_text_col=cfg.kwargs.get("benchmark_text_column"),
+        )
+
+    def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
+        return df.join(
+            F.broadcast(_flagged(df, tables).select(id_column)),
+            on=id_column, how="left_semi",
+        )
+
+    def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+        element_count = df.filter(F.col(column).isNotNull()).count()
+        contaminated = _flagged(df, tables).count()
+        rate = contaminated / element_count if element_count else 0.0
+        return rate < max_rate, {
+            "element_count": int(element_count),
+            "unexpected_count": int(contaminated),
+            "unexpected_percent": 100.0 * rate,
+            "observed_value": rate,
+        }
+
+    return CompiledRelational(
+        cfg=cfg, run=run, violations=_viol,
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+    )
+
+
+@register("expect_column_repetition_fractions_to_be_less_than")
+def _compile_repetition(cfg: ExpectationConfiguration) -> CompiledRelational:
+    """Training-data gate (extension): per-document Gopher-style repetition
+    fractions (:func:`~great_expectations_spark.operators.textstats.repetition_profile`)
+    must stay under the given thresholds for (``mostly`` of) the documents.
+
+    ``max_fractions`` maps feature → ceiling, e.g. ``{"dup_line_frac": 0.3,
+    "top_2gram_char_frac": 0.2, "dup_5gram_char_frac": 0.15}``; a document
+    violates when ANY requested fraction reaches its ceiling. Runs as one
+    profile pass + one agg; null-text documents are excluded (they have no
+    repetition)."""
+    import re as _re
+
+    from great_expectations_spark.operators import textstats as T
+    from great_expectations_spark.result import calc_map_success
+
+    column = cfg.kwargs.get("column", "text")
+    id_column = cfg.kwargs["id_column"]
+    feats: dict[str, float] = dict(cfg.kwargs["max_fractions"])
+    mostly = cfg.mostly
+    line_keys = {"dup_line_frac", "dup_line_char_frac"}
+    top_ns, dup_ns = set(), set()
+    for k in feats:
+        if k in line_keys:
+            continue
+        m = _re.fullmatch(r"(top|dup)_(\d+)gram_char_frac", k)
+        if not m:
+            raise ValueError(f"unknown repetition feature {k!r}")
+        (top_ns if m.group(1) == "top" else dup_ns).add(int(m.group(2)))
+    if not feats:
+        raise ValueError("max_fractions must name at least one feature")
+
+    def _profile(df: DataFrame) -> DataFrame:
+        return T.repetition_profile(
+            df, column, id_column,
+            top_ns=tuple(sorted(top_ns)) or (2,),
+            dup_ns=tuple(sorted(dup_ns)),
+        )
+
+    def _violates() -> F.Column:
+        conds = [F.col(k) >= F.lit(v) for k, v in feats.items()]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
+        bad = _profile(df).filter(_violates()).select(id_column)
+        return df.join(bad, on=id_column, how="left_semi")
+
+    def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+        counts = _profile(df).agg(
+            F.count(F.lit(1)).alias("ec"),
+            F.sum(F.when(_violates(), 1).otherwise(0)).alias("ux"),
+        ).collect()[0]
+        element_count, unexpected = int(counts["ec"]), int(counts["ux"] or 0)
+        success = calc_map_success(element_count, 0, unexpected, mostly)
+        return success, {
+            "element_count": element_count,
+            "unexpected_count": unexpected,
+            "unexpected_percent": (
+                100.0 * unexpected / element_count if element_count else None
+            ),
+        }
+
+    return CompiledRelational(
+        cfg=cfg, run=run, violations=_viol, mostly=mostly,
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # QueryExpectation (§2.8) — the full Spark-SQL relational surface
 # ---------------------------------------------------------------------------

@@ -657,3 +657,104 @@ def test_statistical_tests_bad_kwargs_isolate(spark, df):
     ):
         assert by_type[t].success is False
         assert by_type[t].exception_info["raised_exception"] is True
+
+
+class TestTrainingDataGates:
+    """Contamination + repetition gates (registry extensions over
+    operators/decontamination.py and operators/textstats.py)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "What is the capital of France? The capital of France is Paris."),
+                (1, "what is the capital of FRANCE!!! the capital of france is paris"),
+                (2, "Spark compiles declarative plans into whole stage codegen."),
+                (3, "x y " * 40),
+                (4, "every word used exactly once in this clean sentence today"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    @pytest.fixture(scope="class")
+    def eval_set(self, spark):
+        return spark.createDataFrame(
+            [(100, "What is the capital of France? The capital of France is Paris.")],
+            "doc_id long, text string",
+        )
+
+    def test_contamination_gate(self, spark, corpus, eval_set):
+        suite = ExpectationSuite("c")
+        suite.add(
+            "expect_table_benchmark_contamination_rate_to_be_less_than",
+            column="text", id_column="doc_id", benchmark_table="eval",
+            n=5, max_rate=0.5,
+        )
+        res = SuiteRunner(spark, tables={"eval": eval_set}).validate(corpus, suite)
+        r = res.results[0]
+        # docs 0 and 1 are copies of the benchmark question → 2/5 = 0.4
+        assert r.success is True
+        assert r.result["unexpected_count"] == 2
+        assert r.result["observed_value"] == pytest.approx(0.4)
+
+        strict = ExpectationSuite("c2")
+        strict.add(
+            "expect_table_benchmark_contamination_rate_to_be_less_than",
+            column="text", id_column="doc_id", benchmark_table="eval",
+            n=5, max_rate=0.4,  # strictly-less-than: 0.4 is NOT < 0.4
+        )
+        res2 = SuiteRunner(spark, tables={"eval": eval_set}).validate(corpus, strict)
+        assert res2.results[0].success is False
+
+    def test_repetition_gate_mostly(self, spark, corpus):
+        suite = ExpectationSuite("r")
+        suite.add(
+            "expect_column_repetition_fractions_to_be_less_than",
+            column="text", id_column="doc_id",
+            max_fractions={"top_2gram_char_frac": 0.5, "dup_line_frac": 0.9},
+            mostly=0.6,
+        )
+        res = validate(corpus, suite)
+        r = res.results[0]
+        # only doc 3 ('x y' * 40) trips the 2-gram coverage ceiling
+        assert r.result["element_count"] == 5
+        assert r.result["unexpected_count"] == 1
+        assert r.success is True
+
+        tight = ExpectationSuite("r2")
+        tight.add(
+            "expect_column_repetition_fractions_to_be_less_than",
+            column="text", id_column="doc_id",
+            max_fractions={"top_2gram_char_frac": 0.5},
+        )
+        assert validate(corpus, tight).results[0].success is False
+
+    def test_repetition_gate_unknown_feature_isolates(self, spark, corpus):
+        suite = ExpectationSuite("bad")
+        suite.add("expect_column_values_to_not_be_null", column="doc_id")
+        suite.add(
+            "expect_column_repetition_fractions_to_be_less_than",
+            column="text", id_column="doc_id",
+            max_fractions={"top_0x2gram_frac": 0.5},
+        )
+        out = validate(corpus, suite)
+        by_type = {r.expectation_config["expectation_type"]: r for r in out.results}
+        assert by_type["expect_column_values_to_not_be_null"].success is True
+        bad = by_type["expect_column_repetition_fractions_to_be_less_than"]
+        assert bad.success is False
+        assert bad.exception_info["raised_exception"] is True
+
+    def test_gate_violations_sink(self, spark, corpus, eval_set, tmp_path):
+        vp = str(tmp_path / "viol")
+        suite = ExpectationSuite("v")
+        suite.add(
+            "expect_table_benchmark_contamination_rate_to_be_less_than",
+            column="text", id_column="doc_id", benchmark_table="eval",
+            n=5, max_rate=0.5,
+        )
+        SuiteRunner(spark, tables={"eval": eval_set}, violations_path=vp).validate(
+            corpus, suite
+        )
+        v = spark.read.parquet(vp)
+        assert v.count() == 2  # exactly the two contaminated docs
