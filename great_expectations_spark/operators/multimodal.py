@@ -346,9 +346,15 @@ def resize_images(
                     continue
                 if codec == "real":
                     # decode (PPM/BMP) → nearest-neighbor resample →
-                    # re-encode in the SAME container
+                    # re-encode in the SAME container; an undecodable
+                    # payload yields a null row (the row is the violation,
+                    # not the job — same convention as decode_image_stats)
                     raw = bytes(b)
-                    img = _sniff_and_decode_image(raw)
+                    try:
+                        img = _sniff_and_decode_image(raw)
+                    except ValueError:
+                        out_bytes.append(None)
+                        continue
                     resized = _resize_nearest(img, width, height)
                     enc = encode_ppm if raw[:2] == b"P6" else encode_bmp
                     out_bytes.append(enc(resized))
@@ -389,11 +395,17 @@ def sample_frames(
                 if codec == "real":
                     # trivial video container: a stream of concatenated P6
                     # frames; parse them all, pick n_frames evenly spaced,
-                    # emit each as a standalone P6 payload
+                    # emit each as a standalone P6 payload. A corrupt
+                    # stream keeps the frames parsed before the corruption
+                    # (possibly none → the row emits no frames) instead of
+                    # killing the job
                     all_frames, off = [], 0
-                    while off < len(b):
-                        img, off = decode_ppm(b, off)
-                        all_frames.append(img)
+                    try:
+                        while off < len(b):
+                            img, off = decode_ppm(b, off)
+                            all_frames.append(img)
+                    except ValueError:
+                        pass
                     if not all_frames:
                         continue
                     take = np.unique(

@@ -486,6 +486,23 @@ class TestMultimodal:
         vals = [M.decode_ppm(bytes(r["frame"]))[0][0, 0, 0] for r in out]
         assert vals == [0, 3, 6, 9]  # evenly spaced over the 10 frames
 
+    def test_real_resize_and_frames_survive_bad_payloads(self, spark):
+        """An undecodable payload must null/skip its OWN row, never kill
+        the job — same convention as decode_image_stats."""
+        import numpy as np
+
+        good = M.encode_ppm(np.full((2, 2, 3), 9, dtype=np.uint8))
+        media = spark.createDataFrame(
+            [(0, good), (1, b"\x89PNG not really"), (2, b"P6\n2 2\n255\n\x00")],
+            "media_id long, media binary",
+        )
+        out = {r["media_id"]: r["media"]
+               for r in M.resize_images(media, 2, 2, codec="real").collect()}
+        assert out[0] is not None and out[1] is None and out[2] is None
+
+        frames = M.sample_frames(media, 2, codec="real").collect()
+        assert {r["media_id"] for r in frames} == {0}
+
     def test_decode_stats_oracle_forms(self, spark):
         """decode_image_stats / decode_audio_stats recover the closed-form
         dims/fill the synth tables encode (the driver-oracle contract)."""
