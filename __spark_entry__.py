@@ -1469,7 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_hits": (
             "WITH corpus AS (SELECT doc_id, "
             "list_filter(string_split(trim(regexp_replace(lower(trim(text)), "
-            "'[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks "
+            "'[^\\p{L}\\p{N}]+', ' ', 'g')), ' '), t -> len(t) > 0) AS toks "
             "FROM documents WHERE text IS NOT NULL), "
             "grams AS (SELECT DISTINCT doc_id, "
             "array_to_string(list_slice(toks, i, i + 4), ' ') AS gram "

@@ -227,11 +227,16 @@ class Checkpoint:
         except Exception:  # noqa: BLE001 — first run: no manifest yet
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
-    def completed_partitions(self, shash: str) -> dict[str, bool]:
+    def completed_partitions(self, shash: str) -> dict[str, bool | None]:
         """{partition_id: recorded suite success} for every partition the
         manifest marks validated under this suite hash (latest row wins —
         dict-like a set for membership, plus the verdict for resume
-        reporting)."""
+        reporting). A NULL success column (manifest written before the
+        field existed, or by an external tool) stays ``None`` — coercing
+        it to False would flip the whole resumed run's verdict to failed
+        even when every partition actually passed
+        (``PartitionRunRecord.manifest_success`` documents None as
+        "predates this field" and only ``is False`` fails the run)."""
         rows = (
             self.read_manifest()
             .filter(
@@ -242,7 +247,10 @@ class Checkpoint:
             .orderBy("finished_ts")
             .collect()
         )
-        return {r["partition_id"]: bool(r["success"]) for r in rows}
+        return {
+            r["partition_id"]: (None if r["success"] is None else bool(r["success"]))
+            for r in rows
+        }
 
     def _append_manifest(self, row: dict[str, Any]) -> None:
         import datetime as _dt

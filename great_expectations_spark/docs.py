@@ -256,4 +256,14 @@ def build_data_docs(
 
 
 def _safe(s: str) -> str:
-    return "".join(c if c.isalnum() or c in "-_." else "_" for c in str(s))
+    """Filesystem-safe name. The sanitized form alone is NOT injective
+    ('p/1' and 'p_1' both map to 'p_1'), so names that actually lose
+    characters get a short content hash appended — distinct inputs can
+    never overwrite each other's pages."""
+    s = str(s)
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+    if safe == s:
+        return safe
+    import hashlib
+
+    return f"{safe}-{hashlib.sha256(s.encode()).hexdigest()[:8]}"

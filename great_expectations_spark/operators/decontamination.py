@@ -57,9 +57,14 @@ def _check_hash_fn(hash_fn: str) -> None:
 def normalize_text(text_col: str | Column) -> Column:
     """Decontamination normalization: lowercase, strip punctuation to
     spaces, collapse whitespace — so formatting/casing differences between
-    a training copy and the eval original still collide."""
+    a training copy and the eval original still collide. Unicode-aware
+    (``\\p{L}\\p{N}``): training corpora are multilingual, and an
+    ASCII-only class would silently scope the whole gate to English (every
+    Cyrillic/CJK/accented benchmark copy would normalize to zero tokens
+    and never be flagged). The same class exists in RE2, so DuckDB oracles
+    reproduce it verbatim."""
     c = F.lower(F.trim(_c(text_col)))
-    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
     return F.trim(c)
 
 

@@ -164,14 +164,19 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit BI_RGB BMP → (h, w, 3) uint8 RGB (top-down output; handles
-    both bottom-up and top-down storage via the header's height sign)."""
+    both bottom-up and top-down storage via the header's height sign).
+    Truncated headers raise ValueError (struct.error is converted so every
+    kernel's except-ValueError row-level handling holds)."""
     import struct
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
-    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    except struct.error as e:
+        raise ValueError(f"truncated BMP header: {e}") from None
     if bpp != 24 or compression != 0:
         raise ValueError("only 24-bit uncompressed (BI_RGB) BMP supported")
     h = abs(h_signed)
@@ -212,19 +217,25 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n_ch, rate, bits, data = 12, None, None, None, None
-    while pos + 8 <= len(payload):
-        cid, size = struct.unpack_from("<4sI", payload, pos)
-        pos += 8
-        if cid == b"fmt ":
-            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", payload, pos)
-            bits = struct.unpack_from("<H", payload, pos + 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 WAV supported")
-        elif cid == b"data":
-            data = payload[pos : pos + size]
-        pos += size + (size % 2)  # chunks are word-aligned
+    try:
+        while pos + 8 <= len(payload):
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            pos += 8
+            if cid == b"fmt ":
+                audio_fmt, n_ch, rate = struct.unpack_from("<HHI", payload, pos)
+                bits = struct.unpack_from("<H", payload, pos + 14)[0]
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError("only PCM16 WAV supported")
+            elif cid == b"data":
+                data = payload[pos : pos + size]
+            pos += size + (size % 2)  # chunks are word-aligned
+    except struct.error as e:
+        # truncated chunk header/body — same ValueError contract as images
+        raise ValueError(f"truncated WAV chunk: {e}") from None
     if data is None or n_ch is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(data) % (2 * n_ch):
+        raise ValueError("WAV data chunk not a whole number of frames")
     arr = np.frombuffer(data, dtype="<i2")
     return arr.reshape(-1, n_ch), int(rate)
 

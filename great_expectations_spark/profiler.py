@@ -260,23 +260,45 @@ def profile_suite(
     return suite
 
 
+#: Spark caps GROUPING SETS at 64 sets (GROUPING_SIZE_LIMIT_EXCEEDED), and
+#: at exactly 64 the grouping_id bit mask overflows the SIGNED long range
+#: (the all-but-one-bit gid for 64 columns is > 2^63-1, which Py4J cannot
+#: even pass as a literal) — so chunk at 63. Job count is ⌈columns/63⌉,
+#: still independent of row count and bounded for any realistic width.
+_GROUPING_SETS_MAX = 63
+
+
 def _fused_value_counts(
     df: DataFrame, columns: list[str], max_values: int
 ) -> dict[str, list[tuple[Any, int]]]:
-    """Exact (value, count) lists for many columns in ONE Spark job.
+    """Exact (value, count) lists for many columns in ONE Spark job per
+    ≤64-column chunk (Spark's grouping-sets limit).
 
     GROUPING SETS ((c1),(c2),…) aggregates every column's value counts in a
     single Expand + hash-aggregate shuffle; ``grouping_id()`` identifies the
-    column. A window count of NON-NULL groups per grouping set drops — still
-    executor-side — every column whose true cardinality exceeds
-    ``max_values``, so a mis-classified high-cardinality column can never
-    flood the driver. Returns {column: [(value, count), …] sorted by value};
-    dropped/empty columns are absent.
+    column. A per-``__gid`` count — a second partial-aggregated tiny agg,
+    NOT a window (a window over ``__gid`` would funnel a high-cardinality
+    column's full distinct set through one task: exactly the skew the guard
+    exists to prevent) — drops executor-side every column whose true
+    cardinality exceeds ``max_values``, so a mis-classified high-cardinality
+    column can never flood the driver. Returns {column: [(value, count), …]
+    sorted by value}; dropped/empty columns are absent.
     """
-    from pyspark.sql import Window
-
     if not columns:
         return {}
+    out: dict[str, list[tuple[Any, int]]] = {}
+    for lo in range(0, len(columns), _GROUPING_SETS_MAX):
+        out.update(
+            _fused_value_counts_chunk(
+                df, columns[lo : lo + _GROUPING_SETS_MAX], max_values
+            )
+        )
+    return out
+
+
+def _fused_value_counts_chunk(
+    df: DataFrame, columns: list[str], max_values: int
+) -> dict[str, list[tuple[Any, int]]]:
     k = len(columns)
     gid_of = {c: ((1 << k) - 1) ^ (1 << (k - 1 - i))
               for i, c in enumerate(columns)}
@@ -289,15 +311,14 @@ def _fused_value_counts(
     for c in columns:
         cond = (F.col("__gid") == gid_of[c]) & F.col(c).isNull()
         isnull = cond if isnull is None else (isnull | cond)
-    w = Window.partitionBy("__gid")
+    grouped = gdf.withColumn("__vnull", isnull).filter(~F.col("__vnull"))
+    # per-column distinct-value counts: k tiny rows, map-side combined —
+    # keeps the shuffle keyed on (gid, value), never on gid alone
+    sizes = grouped.groupBy("__gid").agg(F.count(F.lit(1)).alias("__gsz"))
+    keep = sizes.filter(F.col("__gsz") <= max_values).select("__gid")
     rows = (
-        gdf.withColumn("__vnull", isnull)
-        .withColumn(
-            "__gsz",
-            F.sum(F.when(~F.col("__vnull"), 1).otherwise(0)).over(w),
-        )
-        .filter((~F.col("__vnull")) & (F.col("__gsz") <= max_values))
-        .drop("__vnull", "__gsz")
+        grouped.join(F.broadcast(keep), on="__gid", how="left_semi")
+        .drop("__vnull")
         .collect()
     )
     by_gid: dict[int, str] = {g: c for c, g in gid_of.items()}

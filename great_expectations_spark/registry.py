@@ -806,9 +806,13 @@ def _compile_repetition(cfg: ExpectationConfiguration) -> CompiledRelational:
         raise ValueError("max_fractions must name at least one feature")
 
     def _profile(df: DataFrame) -> DataFrame:
+        # pad an n-gram family ONLY when none was requested at all (line-
+        # only features) — repetition_profile needs ≥1 n, but padding when
+        # dup_ns is present would explode every 2-gram for nothing
+        pad = (2,) if not top_ns and not dup_ns else ()
         return T.repetition_profile(
             df, column, id_column,
-            top_ns=tuple(sorted(top_ns)) or (2,),
+            top_ns=tuple(sorted(top_ns)) or pad,
             dup_ns=tuple(sorted(dup_ns)),
         )
 

@@ -198,3 +198,52 @@ def test_duplicate_clusters_long_chain_converges_or_warns(spark):
         duplicate_clusters(pairs, max_iter=1)
     with pytest.raises(ValueError, match="did not converge"):
         duplicate_clusters(pairs, max_iter=1, raise_on_nonconverged=True)
+
+
+def test_completed_partitions_null_success_stays_none(spark, tmp_path):
+    """A manifest row with NULL success (written before the field existed /
+    by an external tool) must surface as None, not False — coercion to
+    False flipped a fully-passing resumed run's verdict to failed."""
+    import datetime
+
+    from great_expectations_spark.checkpoint import Checkpoint, MANIFEST_SCHEMA
+
+    mp = str(tmp_path / "manifest")
+    ts = datetime.datetime(2026, 1, 1)
+    spark.createDataFrame(
+        [
+            ("r1", "p0", "validated", "H", 10, 0, 0.1, None, ts),
+            ("r1", "p1", "validated", "H", 10, 0, 0.1, True, ts),
+        ],
+        MANIFEST_SCHEMA,
+    ).write.parquet(mp)
+    done = Checkpoint(spark, manifest_path=mp).completed_partitions("H")
+    assert done == {"p0": None, "p1": True}
+
+
+def test_docs_safe_names_do_not_collide(tmp_path):
+    from great_expectations_spark.docs import _safe
+
+    assert _safe("p/1") != _safe("p_1")
+    assert _safe("r:1") != _safe("r_1")
+    # clean names stay readable and unsuffixed
+    assert _safe("part-0.A") == "part-0.A"
+
+
+def test_fused_value_counts_beyond_grouping_sets_limit(spark):
+    """Spark caps GROUPING SETS at 64; >64 columns must chunk, not raise
+    GROUPING_SIZE_LIMIT_EXCEEDED."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.profiler import _fused_value_counts
+
+    df = spark.range(0, 60)
+    cols = []
+    for i in range(70):
+        name = f"c{i}"
+        cols.append(name)
+        df = df.withColumn(name, (F.col("id") % (2 + i % 3)).cast("string"))
+    out = _fused_value_counts(df.drop("id"), cols, max_values=100)
+    assert set(out) == set(cols)
+    assert sorted(v for v, _ in out["c0"]) == ["0", "1"]
+    assert sum(cnt for _, cnt in out["c69"]) == 60

@@ -711,3 +711,55 @@ class TestRepetitionProfile:
         assert sorted(r["doc_id"] for r in out) == [1, 2]
         empty = [r for r in out if r["doc_id"] == 2][0]
         assert empty["n_lines"] == 0 and empty["dup_line_frac"] == 0.0
+
+
+class TestDecodersRejectCorruptHeaders:
+    """struct.error must never escape the decoders — a truncated header is
+    a ValueError (the kernels' row-level contract), not a job-killer."""
+
+    def test_truncated_bmp_header_rows_flag_not_raise(self, spark):
+        media = spark.createDataFrame(
+            [(0, b"BM" + b"\x00" * 8), (1, b"RIFF\x00\x00")],
+            "media_id long, media binary",
+        )
+        out = {r["media_id"]: r["decode_ok"]
+               for r in M.decode_image_stats(media).collect()}
+        assert out == {0: 0, 1: 0}
+
+    def test_truncated_wav_rows_flag_not_raise(self, spark):
+        import struct
+
+        trunc = (
+            b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"  # cut mid-fmt
+        )
+        odd_data = M.encode_wav(__import__("numpy").zeros(4, dtype="<i2"), 8000)
+        odd_data = odd_data[:-1]  # data chunk no longer whole frames
+        media = spark.createDataFrame(
+            [(0, trunc), (1, odd_data), (2, b"BM")],
+            "media_id long, media binary",
+        )
+        out = {r["media_id"]: r["decode_ok"]
+               for r in M.decode_audio_stats(media).collect()}
+        assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_decontamination_is_unicode_aware(spark):
+    """A verbatim Cyrillic benchmark copy must be flagged — an ASCII-only
+    normalization silently scoped the gate to English."""
+    from great_expectations_spark.operators import decontamination as X
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "Столица Франции — Париж, и она стоит на Сене!"),
+            (1, "совершенно другой текст о синих китах в океане сегодня"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "столица франции париж и она стоит на сене")],
+        "doc_id long, text string",
+    )
+    flagged = [r["doc_id"] for r in
+               X.contaminated_docs(corpus, bench, n=5).collect()]
+    assert flagged == [0]
