@@ -272,10 +272,13 @@ def repetition_profile(
     space-joined lowercase gram length.
 
     Scale shape: ONE stacked explode produces ``(id, n, gram)`` rows for
-    every requested n (single GenerateExec, codegen upstream), then two
-    keyed aggregations ``(id, n, gram) → (id, n) → (id)`` — all slim rows
-    on the uniform document-id key, no skew surface, no collect. Returns
-    one row per non-null-text input doc.
+    every requested n AND the line rows (sentinel n = -1) — a single
+    GenerateExec over a single text scan (a separate line explode would
+    re-scan the full text column) — then keyed aggregations
+    ``(id, n, gram) → (id, n) → (id)``: all slim rows on the uniform
+    document-id key, no skew surface, no collect. The only other input
+    consumption is a column-pruned ``(id, length(text))`` pass for the
+    denominators. Returns one row per non-null-text input doc.
     """
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns or min(ns) < 1:
@@ -307,58 +310,59 @@ def repetition_profile(
             F.when(n_grams <= 0, F.array().cast(
                 "array<struct<n:int,gram:string>>")).otherwise(grams_n)
         )
+    # line rows ride the same explode under sentinel n = -1
+    lines = F.filter(
+        F.transform(F.split(F.col("__t"), r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    line_structs = F.transform(
+        lines,
+        lambda l: F.struct(F.lit(-1).alias("n"), l.alias("gram")),
+    )
     gram_rows = base.select(
-        "__id", F.explode(F.concat(*stacked)).alias("g")
+        "__id", F.explode(F.concat(*stacked, line_structs)).alias("g")
     ).select("__id", F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram"))
 
     per_gram = gram_rows.groupBy("__id", "__n", "__gram").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # ONE (id, n) aggregation computes the gram metrics AND (under the
+    # line sentinel) the line metrics — no filter split, so the whole
+    # profile is a single linear chain (one Generate, one
+    # (id,n,gram)-keyed shuffle, then strictly shrinking keyed aggs). A
+    # filtered two-branch form re-explodes the text per branch: pushdown
+    # splits the exchange subtrees and defeats exchange reuse.
     cov = F.col("__cnt") * F.length("__gram")
     per_n = per_gram.groupBy("__id", "__n").agg(
         F.max(cov).alias("__top_cov"),
         F.coalesce(
             F.sum(F.when(F.col("__cnt") > 1, cov)), F.lit(0)
         ).alias("__dup_cov"),
-    )
-    gram_aggs = [
-        F.coalesce(
-            F.first(F.when(F.col("__n") == n, F.col("__top_cov")), ignorenulls=True),
-            F.lit(0),
-        ).alias(f"__top_{n}")
-        for n in top_ns
-    ] + [
-        F.coalesce(
-            F.first(F.when(F.col("__n") == n, F.col("__dup_cov")), ignorenulls=True),
-            F.lit(0),
-        ).alias(f"__dup_{n}")
-        for n in dup_ns
-    ]
-    gram_stats = per_n.groupBy("__id").agg(*gram_aggs)
-
-    lines = F.filter(
-        F.transform(F.split(F.col("__t"), r"\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
-    line_rows = base.select("__id", F.explode(lines).alias("__line"))
-    per_line = line_rows.groupBy("__id", "__line").agg(
-        F.count(F.lit(1)).alias("__cnt")
-    )
-    line_cov = F.col("__cnt") * F.length("__line")
-    line_stats = per_line.groupBy("__id").agg(
-        F.sum("__cnt").alias("__n_lines"),
-        F.count(F.lit(1)).alias("__n_distinct"),
-        F.coalesce(
-            F.sum(F.when(F.col("__cnt") > 1, line_cov)), F.lit(0)
-        ).alias("__dup_line_cov"),
-        F.sum(line_cov).alias("__line_chars"),
+        F.sum("__cnt").alias("__occ"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.sum(cov).alias("__chars"),
     )
 
-    out = (
-        base.select("__id", "n_chars")
-        .join(line_stats, "__id", "left")
-        .join(gram_stats, "__id", "left")
+    def _pick(n: int, col: str):
+        return F.first(
+            F.when(F.col("__n") == n, F.col(col)), ignorenulls=True
+        )
+
+    stats_aggs = (
+        [F.coalesce(_pick(n, "__top_cov"), F.lit(0)).alias(f"__top_{n}")
+         for n in top_ns]
+        + [F.coalesce(_pick(n, "__dup_cov"), F.lit(0)).alias(f"__dup_{n}")
+           for n in dup_ns]
+        + [
+            F.coalesce(_pick(-1, "__occ"), F.lit(0)).alias("__n_lines"),
+            F.coalesce(_pick(-1, "__distinct"), F.lit(0)).alias("__n_distinct"),
+            F.coalesce(_pick(-1, "__dup_cov"), F.lit(0)).alias("__dup_line_cov"),
+            F.coalesce(_pick(-1, "__chars"), F.lit(0)).alias("__line_chars"),
+        ]
     )
+    doc_stats = per_n.groupBy("__id").agg(*stats_aggs)
+
+    out = base.select("__id", "n_chars").join(doc_stats, "__id", "left")
     frac = lambda num, den: F.when(  # noqa: E731
         den > 0, num.cast("double") / den
     ).otherwise(F.lit(0.0))

@@ -8,9 +8,10 @@ the same EVR rows the batch checkpoint writes, so batch and streaming results
 land in one queryable table.
 """
 
+from great_expectations_spark.streaming.dedup import streaming_exact_dedup
 from great_expectations_spark.streaming.incremental import (
     StreamingValidator,
     validate_stream,
 )
 
-__all__ = ["StreamingValidator", "validate_stream"]
+__all__ = ["StreamingValidator", "validate_stream", "streaming_exact_dedup"]

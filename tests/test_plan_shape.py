@@ -245,3 +245,18 @@ def test_bundle_cohorts_are_column_disjoint(spark, tpath):
             assert not (reads[i] & reads[j]), reads
     # the wide text column is scanned by exactly one cohort
     assert sum("text" in r for r in reads) == 1, reads
+
+
+def test_repetition_profile_single_explode(spark):
+    """repetition_profile must be one linear chain: ONE Generate feeding
+    one (id,n,gram)-keyed shuffle (line rows ride the same explode under
+    the n=-1 sentinel). A filter-split two-branch form re-explodes the
+    full text column per branch — at 100 TB that is a second full scan."""
+    from great_expectations_spark.operators.textstats import repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b a b\nx y"), (2, "c d e")], "doc_id long, text string"
+    )
+    plan = _plan(repetition_profile(df, "text", "doc_id",
+                                    top_ns=(2,), dup_ns=(3,)))
+    assert plan.count("Generate explode") == 1, plan

@@ -1,0 +1,204 @@
+"""Two-level scaling evidence for the training-data pipeline operators
+(decontamination + repetition profile) — the same N vs 4N protocol as
+tools/scaling_bench.py, applied to the round-3 corpus-curation ops.
+
+Corpus: a deterministic synthetic documents table (N_DOCS rows, ~40-word
+texts over a 64-word vocabulary, generated entirely JVM-side from the row
+id — no Python in the generator). Every id ≡ 0 (mod 17) re-generates its
+text from id-1 plus one appended word (planted near-duplicate structure);
+the benchmark set for contamination is ids ≡ 0/1 (mod 1000) (~0.2%).
+
+Timed per level (min of BENCH_REPEAT in-JVM repeats, subprocess samples
+interleaved across levels):
+
+- ``contaminated``: operators.decontamination.contaminated_docs over word
+  13-grams, hash_fn='xxhash64' (the production path: slim 8-byte gram
+  stream, broadcast benchmark side)
+- ``repetition``: operators.textstats.repetition_profile(top 2-gram +
+  dup 5-gram fractions) reduced with one agg
+
+Writes BENCH/PIPELINE_OPS.md. Usage:
+    python tools/pipeline_ops_bench.py [n_docs] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+LEVEL_N = int(os.environ.get("SCALE_N", "4"))
+LEVEL_4N = int(os.environ.get("SCALE_4N", "16"))
+IN_JVM_REPEAT = os.environ.get("BENCH_REPEAT", "3")
+
+WORKER = r"""
+import json, os, sys, time
+
+cpus = int(os.environ["POB_CPUS"])
+n_docs = int(os.environ["POB_DOCS"])
+repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+
+sys.path.insert(0, os.environ["POB_REPO"])
+from bench import build_spark, CACHE_ROOT  # reuses tmpfs/AQE session conf
+from pyspark.sql import functions as F
+
+spark = build_spark(cpus)
+
+VOCAB = (
+    "the a of to and in is it you that was for on are with as this have "
+    "from they spark table row scan filter join group window sort hash "
+    "batch stream query plan value key part merge fast slow big small "
+    "data column line order customer vector agg"
+).split()
+
+def corpus_path():
+    path = os.path.join(CACHE_ROOT, f"pipeline_docs_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        vocab = F.array(*[F.lit(w) for w in VOCAB])
+        base = F.when(
+            (F.col("id") % 17 == 0) & (F.col("id") > 0), F.col("id") - 1
+        ).otherwise(F.col("id"))
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(base, i), F.lit(len(VOCAB))) + 1).cast("int"),
+            ),
+        )
+        text = F.array_join(words, " ")
+        text = F.when(
+            (F.col("id") % 17 == 0) & (F.col("id") > 0),
+            F.concat(text, F.lit(" extra")),
+        ).otherwise(text)
+        (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"), text.alias("text"))
+            # 64 output files regardless of the generating level: the
+            # corpus is generated ONCE (first sample, possibly local[4]);
+            # without this the scan+explode stages of every later sample
+            # are capped at ~4 splits and the 4N level can never use its
+            # cores — the scaling measurement would be an artifact of the
+            # file layout, not the operators
+            .repartition(64, "doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+docs = spark.read.parquet(corpus_path())
+bench_set = docs.filter(F.col("doc_id") % 1000 < 2)
+
+from great_expectations_spark.operators import decontamination as X
+from great_expectations_spark.operators import textstats as T
+
+def q_contaminated():
+    return X.contaminated_docs(
+        docs, bench_set, text_col="text", id_col="doc_id",
+        n=13, hash_fn="xxhash64",
+    ).count()
+
+def q_repetition():
+    rp = T.repetition_profile(docs, "text", "doc_id", top_ns=(2,), dup_ns=(5,))
+    return rp.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("top_2gram_char_frac") > 0.2, 1).otherwise(0)),
+    ).collect()[0]["docs"]
+
+out = {}
+for name, fn in (("contaminated", q_contaminated), ("repetition", q_repetition)):
+    best, obs = None, None
+    for _ in range(repeat):
+        t0 = time.monotonic()
+        obs = fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    out[name] = {"sec": round(best, 3), "observed": int(obs)}
+print("POB_RESULT " + json.dumps({"cpus": cpus, "n_docs": n_docs, "ops": out}))
+spark.stop()
+"""
+
+
+def run_once(cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        POB_CPUS=str(cpus),
+        POB_DOCS=str(N_DOCS),
+        POB_REPO=REPO,
+        BENCH_REPEAT=IN_JVM_REPEAT,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", WORKER], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=5400,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("POB_RESULT "):
+            return json.loads(line[len("POB_RESULT "):])
+    raise RuntimeError(
+        f"worker (cpus={cpus}) produced no result:\n{proc.stdout[-2000:]}"
+        f"\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    samples: dict[int, list[dict]] = {LEVEL_N: [], LEVEL_4N: []}
+    for _ in range(ROUNDS):
+        for level in (LEVEL_N, LEVEL_4N):  # interleaved
+            samples[level].append(run_once(level))
+            print(f"  level {level}: {samples[level][-1]['ops']}", flush=True)
+
+    def best(level: int, op: str) -> float:
+        return min(s["ops"][op]["sec"] for s in samples[level])
+
+    lines = [
+        "# BENCH/PIPELINE_OPS — two-level scaling for the curation operators",
+        "",
+        f"Corpus: {N_DOCS:,} deterministic synthetic docs (~40-word texts, "
+        "planted near-dups every 17th id); benchmark set ≈0.2% of ids. "
+        "Protocol identical to BENCH/BASELINE.md: fresh JVM per sample, "
+        f"min of {IN_JVM_REPEAT} in-JVM repeats, samples interleaved "
+        f"across local[{LEVEL_N}] (= N) and local[{LEVEL_4N}] (= 4N), "
+        "min per level reported.",
+        "",
+        "| op | local[{}] s | local[{}] s | docs/s @4N | eff N→4N |".format(
+            LEVEL_N, LEVEL_4N
+        ),
+        "|---|---|---|---|---|",
+    ]
+    raw = {"n_docs": N_DOCS, "levels": [LEVEL_N, LEVEL_4N], "ops": {}}
+    for op in ("contaminated", "repetition"):
+        tn, t4 = best(LEVEL_N, op), best(LEVEL_4N, op)
+        eff = (tn / t4) / (LEVEL_4N / LEVEL_N)
+        raw["ops"][op] = {
+            "localN_sec": tn, "local4N_sec": t4,
+            "docs_per_sec_4N": round(N_DOCS / t4, 1),
+            "scaling_efficiency": round(eff, 3),
+            "samples": {
+                str(lv): [s["ops"][op]["sec"] for s in samples[lv]]
+                for lv in (LEVEL_N, LEVEL_4N)
+            },
+        }
+        lines.append(
+            f"| {op} | {tn:.2f} | {t4:.2f} | {N_DOCS / t4:,.0f} | {eff:.3f} |"
+        )
+    lines += [
+        "",
+        "Both ops are the broadcast-join / keyed-agg shapes the module "
+        "docstrings claim: the corpus side never shuffles its text for "
+        "contamination, and repetition's shuffles are all slim keyed rows — "
+        "single-box memory-bandwidth sharing at 4N makes these LOWER bounds "
+        "on multi-node efficiency.",
+        "",
+        "Raw: `" + json.dumps(raw) + "`",
+    ]
+    out = os.path.join(REPO, "BENCH", "PIPELINE_OPS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
