@@ -17,6 +17,9 @@ full expectation-suite run*):
   scale-critical operators in isolation.
 - ``minhash_dedup`` / ``ann_topk`` (when operators module present):
   training-data pipeline ops over documents/embeddings.
+- ``decontamination`` / ``repetition``: the round-3 corpus-curation ops
+  over documents (per-round regression tracking; the dedicated two-level
+  scaling record at 2M docs is BENCH/PIPELINE_OPS.md).
 
 Environment:
     SPARK_GRAFT_SF_DIR  parquet dir   (default /root/testdata/sf0.1)
@@ -310,6 +313,34 @@ def q_text_stats(spark: SparkSession) -> dict:
     return {"rows": n}
 
 
+def q_decontamination(spark: SparkSession) -> dict:
+    from great_expectations_spark.operators.decontamination import contaminated_docs
+
+    docs = _load(spark, "documents")
+    # benchmark set: a deterministic ~0.5% slice of the corpus itself —
+    # guarantees hits exist without external data
+    bench_set = docs.filter(F.col("doc_id") % 200 == 0)
+    hits = contaminated_docs(
+        docs, bench_set, text_col="text", id_col="doc_id",
+        n=13, hash_fn="xxhash64",
+    )
+    return {"contaminated_docs": hits.count()}
+
+
+def q_repetition(spark: SparkSession) -> dict:
+    from great_expectations_spark.operators.textstats import repetition_profile
+
+    docs = _load(spark, "documents")
+    rp = repetition_profile(docs, "text", "doc_id", top_ns=(2,), dup_ns=(5,))
+    row = rp.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(
+            F.when(F.col("top_2gram_char_frac") > 0.2, 1).otherwise(0)
+        ).alias("repetitive"),
+    ).collect()[0]
+    return {"rows": row["docs"], "repetitive": int(row["repetitive"] or 0)}
+
+
 def main() -> None:
     spark = build_spark()
     # warm the JVM + generate the bucketed transcripts table + KL baseline
@@ -328,6 +359,8 @@ def main() -> None:
         "ann_topk": q_ann_topk,
         "ann_topk_arrow": q_ann_topk_arrow,
         "text_stats": q_text_stats,
+        "decontamination": q_decontamination,
+        "repetition": q_repetition,
     }
     # BENCH_QUERIES=a,b,c restricts the run (scaling harness runs only the
     # headline suite at two core counts)

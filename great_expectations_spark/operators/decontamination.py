@@ -68,14 +68,23 @@ def normalize_text(text_col: str | Column) -> Column:
     return F.trim(c)
 
 
-def word_ngrams(text_col: str | Column, n: int = 13) -> Column:
-    """Distinct space-joined word ``n``-grams of the normalized text as
-    ``array<string>``. Documents with fewer than ``n`` words return an
-    empty array (they cannot be contaminated at this n)."""
-    if n < 1:
-        raise ValueError("n must be >= 1")
+def tokenize(text_col: str | Column) -> Column:
+    """Normalized word tokens as ``array<string>`` (empty tokens dropped)."""
     toks = F.split(normalize_text(text_col), " ")
-    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    return F.filter(toks, lambda t: F.length(t) > 0)
+
+
+def _grams_of_tokens(toks: Column, n: int) -> Column:
+    """Distinct space-joined ``n``-grams of a token-array column.
+
+    PERF CONTRACT: pass an ATTRIBUTE (a materialized column), not a complex
+    expression. A Spark higher-order-function lambda re-evaluates every
+    captured non-attribute subtree ONCE PER ARRAY ELEMENT — with the
+    tokenizer (Unicode regex + split) captured here, that re-tokenized
+    each document ~``words`` times and measured 26x slower end-to-end.
+    ``ngram_rows`` materializes tokens in their own projection first
+    (CollapseProject keeps a non-cheap alias referenced more than once).
+    """
     n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -84,6 +93,19 @@ def word_ngrams(text_col: str | Column, n: int = 13) -> Column:
     return F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)
     )
+
+
+def word_ngrams(text_col: str | Column, n: int = 13) -> Column:
+    """Distinct space-joined word ``n``-grams of the normalized text as
+    ``array<string>``. Documents with fewer than ``n`` words return an
+    empty array (they cannot be contaminated at this n).
+
+    Convenience single-expression form; for bulk paths prefer
+    ``ngram_rows``, which materializes the token array once per row
+    (see ``_grams_of_tokens`` PERF CONTRACT)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return _grams_of_tokens(tokenize(text_col), n)
 
 
 def ngram_rows(
@@ -98,12 +120,19 @@ def ngram_rows(
     The gram column is the raw string (``hash_fn='none'``) or its
     ``xxhash64`` (slim 8-byte shuffle rows for the 100 TB path). The
     explode runs through one GenerateExec per scan partition; nothing
-    here shuffles.
+    here shuffles. Tokenization happens in its own projection so the
+    gram lambda only captures an attribute (see ``_grams_of_tokens``).
     """
     _check_hash_fn(hash_fn)
-    out = df.filter(F.col(text_col).isNotNull()).select(
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
+        tokenize(text_col).alias("__toks"),
+    )
+    out = toked.select(
+        "__id",
+        F.explode(_grams_of_tokens(F.col("__toks"), n)).alias("gram"),
     )
     if hash_fn == "xxhash64":
         out = out.select("__id", F.xxhash64("gram").alias("gram"))

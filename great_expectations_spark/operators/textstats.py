@@ -284,16 +284,27 @@ def repetition_profile(
     if not ns or min(ns) < 1:
         raise ValueError("top_ns/dup_ns must contain integers >= 1")
 
+    # Tokens and lines are materialized as COLUMNS here, not inlined into
+    # the gram lambdas below: a higher-order-function lambda re-evaluates
+    # every captured non-attribute subtree once per array element, so an
+    # inline split() re-tokenized each doc ~sum(len-n+1) times (measured
+    # >10x end-to-end; same trap documented in
+    # decontamination._grams_of_tokens). CollapseProject keeps a non-cheap
+    # multi-referenced alias, so this stays a separate projection.
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
         F.length(F.col(text_col)).alias("n_chars"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("__toks"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ).alias("__lines"),
     )
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("__t"))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
+    toks = F.col("__toks")
     def _gram_at(n: int):
         # single-arg lambda factory — a 2-arg lambda (even via a default)
         # would be bound by PySpark's HOF machinery as (element, index)
@@ -311,12 +322,8 @@ def repetition_profile(
                 "array<struct<n:int,gram:string>>")).otherwise(grams_n)
         )
     # line rows ride the same explode under sentinel n = -1
-    lines = F.filter(
-        F.transform(F.split(F.col("__t"), r"\n"), lambda l: F.trim(l)),
-        lambda l: F.length(l) > 0,
-    )
     line_structs = F.transform(
-        lines,
+        F.col("__lines"),
         lambda l: F.struct(F.lit(-1).alias("n"), l.alias("gram")),
     )
     gram_rows = base.select(
