@@ -47,6 +47,22 @@ from bench import build_spark, CACHE_ROOT  # reuses tmpfs/AQE session conf
 from pyspark.sql import functions as F
 
 spark = build_spark(cpus)
+# Reduce-side parallelism must NOT scale down with the core count:
+# repetition's per-gram aggregation shuffles ~76 gram rows/doc, and at
+# shuffle.partitions=4 each reduce task hash-aggregates ~19M string keys in
+# one BytesToBytesMap (measured: grow/rehash thrash, >10 min at local[4]).
+# A real cluster sizes reduce partitions to the DATA, so both levels use
+# the same fixed count — identical plans, only the core count varies;
+# AQE still coalesces the small post-agg stages.
+spark.conf.set("spark.sql.shuffle.partitions", "64")
+# Text that EXPLODES ~76x must scan in small splits: at the default 128m
+# maxPartitionBytes the corpus reads as 4 splits, so each map-side partial
+# agg of the per-gram groupBy hash-aggregates ~19M near-unique string keys
+# in one task — the map outgrows the per-task execution budget and
+# spill-loops (measured >10 min at local[4]). 16m splits keep every
+# per-task map ~3M keys. Same conf at both levels; on a real cluster this
+# is exactly the knob you'd set for explode-heavy scans.
+spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
 
 VOCAB = (
     "the a of to and in is it you that was for on are with as this have "
