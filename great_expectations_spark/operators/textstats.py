@@ -240,12 +240,94 @@ def kgram_fingerprint_rows(
     return selected.unionByName(fallback)
 
 
+def _grams_arr(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token-array ATTRIBUTE (see the
+    captured-subtree note in ``repetition_profile``)."""
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        grams
+    )
+
+
+def _runlength_stats(arr: Column) -> Column:
+    """Row-local duplicate statistics of one doc's gram/line array:
+    ``struct(top, dup, occ, distinct, chars)`` (all bigint), where ``top``
+    is the max over distinct values of ``count*length`` and ``dup`` the sum
+    of ``count*length`` over values occurring more than once.
+
+    Sort the array, then a single linear run-length walk with
+    ``F.aggregate`` — the merge lambda touches only the accumulator and
+    the element, so nothing re-evaluates per element."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("distinct"),
+        F.lit(0).cast("long").alias("occ"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+
+    def _flush_top(acc):
+        run_cov = acc["run"] * F.length(acc["prev"])
+        return F.when(acc["prev"].isNull(), acc["top"]).otherwise(
+            F.greatest(acc["top"], run_cov)
+        )
+
+    def _flush_dup(acc):
+        run_cov = acc["run"] * F.length(acc["prev"])
+        return F.when(
+            acc["prev"].isNotNull() & (acc["run"] > 1), acc["dup"] + run_cov
+        ).otherwise(acc["dup"])
+
+    def step(acc, g):
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        return F.when(
+            same,
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["top"].alias("top"),
+                acc["dup"].alias("dup"),
+                acc["distinct"].alias("distinct"),
+                (acc["occ"] + 1).alias("occ"),
+                (acc["chars"] + F.length(g)).alias("chars"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                _flush_top(acc).alias("top"),
+                _flush_dup(acc).alias("dup"),
+                (acc["distinct"] + 1).alias("distinct"),
+                (acc["occ"] + 1).alias("occ"),
+                (acc["chars"] + F.length(g)).alias("chars"),
+            )
+        )
+
+    def finish(acc):
+        return F.struct(
+            _flush_top(acc).alias("top"),
+            _flush_dup(acc).alias("dup"),
+            acc["occ"].alias("occ"),
+            acc["distinct"].alias("distinct"),
+            acc["chars"].alias("chars"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, finish)
+
+
 def repetition_profile(
     df: DataFrame,
     text_col: str,
     id_col: str,
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7),
+    strategy: str = "rowlocal",
 ) -> DataFrame:
     """Per-document repetition quality signals (Gopher-style; Rae et al.
     2021 appendix A1.1 "repetitious text" filters, as popularized for LLM
@@ -271,7 +353,25 @@ def repetition_profile(
     ``text_chars`` is the raw text length; gram chars are the
     space-joined lowercase gram length.
 
-    Scale shape: ONE stacked explode produces ``(id, n, gram)`` rows for
+    ``strategy`` (identical results — equality-tested — different plans):
+
+    - ``"rowlocal"`` (default) — ZERO-SHUFFLE: every statistic is
+      per-document, so each doc's gram arrays are sorted and
+      run-length-walked inside one projection (``_runlength_stats``); the
+      whole profile is a map-only plan over the scan (plan-asserted: no
+      Exchange, no Generate). The per-row working set is
+      O(words x (len(top_ns)+len(dup_ns))) — fine up to multi-MB docs, and
+      the shape that scales linearly with executors at 100 TB. Measured
+      30-40x faster than ``"shuffle"`` at 500k docs
+      (BENCH/PIPELINE_OPS.md addendum).
+    - ``"shuffle"`` — stacked explode + keyed aggregations, described
+      below; moves ~sum(len-n+1) slim rows per doc through an exchange
+      (measured DRAM-bandwidth-bound). Use only when single pathological
+      documents (10^8+ chars) could not hold their gram array in one
+      task's memory.
+
+    Scale shape (``strategy="shuffle"``): ONE stacked explode produces
+    ``(id, n, gram)`` rows for
     every requested n AND the line rows (sentinel n = -1) — a single
     GenerateExec over a single text scan (a separate line explode would
     re-scan the full text column) — then keyed aggregations
@@ -283,6 +383,8 @@ def repetition_profile(
     ns = sorted(set(top_ns) | set(dup_ns))
     if not ns or min(ns) < 1:
         raise ValueError("top_ns/dup_ns must contain integers >= 1")
+    if strategy not in ("shuffle", "rowlocal"):
+        raise ValueError("strategy must be 'shuffle' or 'rowlocal'")
 
     # Tokens and lines are materialized as COLUMNS here, not inlined into
     # the gram lambdas below: a higher-order-function lambda re-evaluates
@@ -305,6 +407,44 @@ def repetition_profile(
     )
 
     toks = F.col("__toks")
+
+    if strategy == "rowlocal":
+        stats = base.select(
+            "__id",
+            "n_chars",
+            *[
+                _runlength_stats(_grams_arr(toks, n)).alias(f"__s_{n}")
+                for n in ns
+            ],
+            _runlength_stats(F.col("__lines")).alias("__s_l"),
+        )
+        rfrac = lambda num, den: F.when(  # noqa: E731
+            den > 0, num.cast("double") / den
+        ).otherwise(F.lit(0.0))
+        rproj = [
+            F.col("__id").alias(id_col),
+            F.col("n_chars"),
+            F.col("__s_l.occ").alias("n_lines"),
+            rfrac(
+                F.col("__s_l.occ") - F.col("__s_l.distinct"),
+                F.col("__s_l.occ"),
+            ).alias("dup_line_frac"),
+            rfrac(F.col("__s_l.dup"), F.col("__s_l.chars")).alias(
+                "dup_line_char_frac"
+            ),
+        ]
+        for n in top_ns:
+            rproj.append(
+                rfrac(F.col(f"__s_{n}.top"), F.col("n_chars"))
+                .alias(f"top_{n}gram_char_frac")
+            )
+        for n in dup_ns:
+            rproj.append(
+                rfrac(F.col(f"__s_{n}.dup"), F.col("n_chars"))
+                .alias(f"dup_{n}gram_char_frac")
+            )
+        return stats.select(*rproj)
+
     def _gram_at(n: int):
         # single-arg lambda factory — a 2-arg lambda (even via a default)
         # would be bound by PySpark's HOF machinery as (element, index)

@@ -712,6 +712,44 @@ class TestRepetitionProfile:
         empty = [r for r in out if r["doc_id"] == 2][0]
         assert empty["n_lines"] == 0 and empty["dup_line_frac"] == 0.0
 
+    def test_rowlocal_equals_shuffle(self, spark):
+        rows = [
+            (1, "a b a b a b"),
+            (2, "alpha beta\ngamma delta\nalpha beta\n  \nepsilon"),
+            (3, "every word here is used exactly once today"),
+            (4, ""),
+            (5, None),
+            (6, "x\nx\nx\nx"),
+            (7, "tie tie tie longword longword"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(top_ns=(1, 2), dup_ns=(2, 3))
+        a = T.repetition_profile(
+            df, "text", "doc_id", strategy="shuffle", **kw
+        )
+        b = T.repetition_profile(
+            df, "text", "doc_id", strategy="rowlocal", **kw
+        )
+        assert a.columns == b.columns
+        ra = {r["doc_id"]: r for r in a.collect()}
+        rb = {r["doc_id"]: r for r in b.collect()}
+        assert set(ra) == set(rb)
+        for k in ra:
+            for c in a.columns:
+                assert ra[k][c] == pytest.approx(rb[k][c]), (k, c)
+
+    def test_rowlocal_plan_is_shuffle_free(self, spark):
+        df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        plan = T.repetition_profile(
+            df, "text", "doc_id", strategy="rowlocal"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+
+    def test_bad_strategy_rejected(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="strategy"):
+            T.repetition_profile(df, "text", "doc_id", strategy="nope")
+
 
 class TestDecodersRejectCorruptHeaders:
     """struct.error must never escape the decoders — a truncated header is

@@ -258,5 +258,10 @@ def test_repetition_profile_single_explode(spark):
         [(1, "a b a b\nx y"), (2, "c d e")], "doc_id long, text string"
     )
     plan = _plan(repetition_profile(df, "text", "doc_id",
-                                    top_ns=(2,), dup_ns=(3,)))
+                                    top_ns=(2,), dup_ns=(3,),
+                                    strategy="shuffle"))
     assert plan.count("Generate explode") == 1, plan
+    # the default (rowlocal) strategy is map-only: no Exchange, no Generate
+    plan_rl = _plan(repetition_profile(df, "text", "doc_id",
+                                       top_ns=(2,), dup_ns=(3,)))
+    assert "Exchange" not in plan_rl and "Generate" not in plan_rl, plan_rl
