@@ -126,6 +126,31 @@ def ngram_rows(
     _check_hash_fn(hash_fn)
     if n < 1:
         raise ValueError("n must be >= 1")
+    if hash_fn == "xxhash64":
+        # Token-hash form: gram strings are never built. Hash each token
+        # once (8 bytes), then a gram's hash is xxhash64 over the length-n
+        # slice of token hashes. Flagging semantics are identical because
+        # BOTH sides of the contamination join derive grams through this
+        # same function (equality-of-hash == equality-of-gram modulo the
+        # documented ~2^-64 collision rate, which also covers
+        # array_distinct de-duplicating by hash). Skips array_join'ing
+        # ~9n bytes per gram on the 100 TB side.
+        toked = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                tokenize(text_col), lambda t: F.xxhash64(t)
+            ).alias("__thash"),
+        )
+        thash = F.col("__thash")
+        n_grams = F.greatest(F.size(thash) - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.slice(thash, i, n)),
+        )
+        grams = F.when(n_grams <= 0, F.array().cast("array<long>")).otherwise(
+            F.array_distinct(grams)
+        )
+        return toked.select("__id", F.explode(grams).alias("gram"))
     toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         tokenize(text_col).alias("__toks"),
@@ -134,8 +159,6 @@ def ngram_rows(
         "__id",
         F.explode(_grams_of_tokens(F.col("__toks"), n)).alias("gram"),
     )
-    if hash_fn == "xxhash64":
-        out = out.select("__id", F.xxhash64("gram").alias("gram"))
     return out
 
 

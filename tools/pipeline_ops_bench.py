@@ -202,11 +202,13 @@ def main() -> None:
         )
     lines += [
         "",
-        "Both ops are the broadcast-join / keyed-agg shapes the module "
-        "docstrings claim: the corpus side never shuffles its text for "
-        "contamination, and repetition's shuffles are all slim keyed rows — "
-        "single-box memory-bandwidth sharing at 4N makes these LOWER bounds "
-        "on multi-node efficiency.",
+        "Both ops are the shapes the module docstrings claim: contamination "
+        "never shuffles the corpus text (token-hash grams into a broadcast "
+        "join), and repetition's default rowlocal strategy is MAP-ONLY "
+        "(no Exchange, no Generate) — single-box DRAM-bandwidth sharing at "
+        "4N makes these LOWER bounds on multi-node efficiency (4N executors "
+        "on a cluster bring 4N memory channels and shuffle disks; here 16 "
+        "threads share one box's).",
         "",
         "Raw: `" + json.dumps(raw) + "`",
     ]
