@@ -618,6 +618,27 @@ class TestDecontamination:
         )
         assert raw == hashed
 
+    def test_hashed_mode_matches_raw_randomized(self, spark):
+        import random
+
+        from great_expectations_spark.operators import decontamination as X
+
+        rng = random.Random(99)
+        vocab = ["the", "модель", "数据", "loss", "train", "Épreuve", "x9"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(40)
+        ]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = corpus.filter("doc_id % 7 = 0")
+        raw = sorted(
+            X.contaminated_docs(corpus, bench, n=3, hash_fn="none").collect()
+        )
+        hashed = sorted(
+            X.contaminated_docs(corpus, bench, n=3, hash_fn="xxhash64").collect()
+        )
+        assert raw == hashed and len(raw) > 0
+
     def test_min_hits_threshold(self, corpus, eval_set):
         from great_expectations_spark.operators import decontamination as X
 
@@ -737,6 +758,32 @@ class TestRepetitionProfile:
         for k in ra:
             for c in a.columns:
                 assert ra[k][c] == pytest.approx(rb[k][c]), (k, c)
+
+    def test_rowlocal_equals_shuffle_randomized(self, spark):
+        import random
+
+        rng = random.Random(1234)
+        vocab = ["alpha", "beta", "gamma", "δδ", "ночь", "模型", "x", "longestword"]
+        rows = []
+        for i in range(30):
+            n_words = rng.randint(0, 25)
+            words = [rng.choice(vocab) for _ in range(n_words)]
+            # inject newlines so line stats exercise too
+            text = " ".join(words)
+            if n_words > 4 and rng.random() < 0.5:
+                text = text.replace(" ", "\n", rng.randint(1, 3))
+            rows.append((i, text))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(top_ns=(2, 3), dup_ns=(2,))
+        a = {r["doc_id"]: r for r in T.repetition_profile(
+            df, "text", "doc_id", strategy="shuffle", **kw).collect()}
+        b = {r["doc_id"]: r for r in T.repetition_profile(
+            df, "text", "doc_id", strategy="rowlocal", **kw).collect()}
+        assert set(a) == set(b)
+        cols = T.repetition_profile(df, "text", "doc_id", **kw).columns
+        for k in a:
+            for c in cols:
+                assert a[k][c] == pytest.approx(b[k][c]), (k, c, rows[k])
 
     def test_rowlocal_plan_is_shuffle_free(self, spark):
         df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
