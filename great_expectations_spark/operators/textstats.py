@@ -72,9 +72,16 @@ def token_count_bpe_ish(text_col: str | Column) -> Column:
     return F.regexp_count(_c(text_col), F.lit(BPE_ISH_PATTERN))
 
 
-def language_scores(text_col: str | Column) -> Column:
-    """Per-language stopword-hit fraction as a map<lang, double>."""
-    toks = tokens(text_col)
+def language_scores(
+    text_col: str | Column, toks: Column | None = None
+) -> Column:
+    """Per-language stopword-hit fraction as a map<lang, double>.
+
+    ``toks``: optionally pass a pre-materialized token-array ATTRIBUTE to
+    avoid re-tokenizing — tokenize() contains a HOF filter, which blocks
+    codegen common-subexpression elimination, so every textual use
+    re-runs the split regex (see ``text_quality_profile``)."""
+    toks = tokens(text_col) if toks is None else toks
     n = F.size(toks)
     entries = []
     for lang, words in STOPWORD_PROFILES.items():
@@ -89,11 +96,13 @@ def language_scores(text_col: str | Column) -> Column:
 
 
 def detect_language(
-    text_col: str | Column, min_score: float = 0.05
+    text_col: str | Column,
+    min_score: float = 0.05,
+    toks: Column | None = None,
 ) -> Column:
     """argmax over :func:`language_scores`; ``'und'`` (undetermined) when no
     profile clears ``min_score``."""
-    toks = tokens(text_col)
+    toks = tokens(text_col) if toks is None else toks
     n = F.size(toks)
     scored = []
     for lang, words in STOPWORD_PROFILES.items():
@@ -107,10 +116,12 @@ def detect_language(
     )
 
 
-def quality_features(text_col: str | Column) -> dict[str, Column]:
+def quality_features(
+    text_col: str | Column, toks: Column | None = None
+) -> dict[str, Column]:
     """The standard cheap quality signals (C4/Gopher-style heuristics)."""
     c = _c(text_col)
-    toks = tokens(c)
+    toks = tokens(c) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(c)
     alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
@@ -135,11 +146,13 @@ def quality_features(text_col: str | Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text_col: str | Column) -> Column:
+def quality_score(
+    text_col: str | Column, toks: Column | None = None
+) -> Column:
     """Composite [0,1] quality score: penalize too-short/too-long docs,
     low alpha ratio, punctuation walls, stopword-free keyword soup, and
     degenerate token lengths. Weights are heuristic but deterministic."""
-    f = quality_features(text_col)
+    f = quality_features(text_col, toks=toks)
     len_score = F.least(
         F.lit(1.0), f["n_tokens"] / F.lit(20.0)
     ) * F.when(f["n_tokens"] > 10_000, F.lit(0.5)).otherwise(F.lit(1.0))
@@ -155,13 +168,22 @@ def quality_score(text_col: str | Column) -> Column:
 
 
 def text_quality_profile(df: DataFrame, text_col: str) -> DataFrame:
-    """Append all quality feature columns + composite score + language."""
-    feats = quality_features(text_col)
-    out = df
+    """Append all quality feature columns + composite score + language.
+
+    Tokenizes ONCE per row: the token array is materialized as a column
+    and passed to every helper as an attribute (without this the inlined
+    tokenize() — whose HOF filter blocks codegen subexpression
+    elimination — re-ran the split regex ~12x per row across the
+    feature/score/language expressions)."""
+    out = df.withColumn("__gx_toks", tokens(text_col))
+    toks = F.col("__gx_toks")
+    feats = quality_features(text_col, toks=toks)
     for name, expr in feats.items():
         out = out.withColumn(name, expr)
-    return out.withColumn("quality_score", quality_score(text_col)).withColumn(
-        "detected_lang", detect_language(text_col)
+    return (
+        out.withColumn("quality_score", quality_score(text_col, toks=toks))
+        .withColumn("detected_lang", detect_language(text_col, toks=toks))
+        .drop("__gx_toks")
     )
 
 
