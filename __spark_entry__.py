@@ -974,12 +974,19 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness records at most 50
+    # rows in registry order (CORRECTNESS_r03 = exactly the first 50 keys).
+    # With 55 registered queries, the five keys that therefore missed r03
+    # (decontamination_hits, repetition_profile, stratified_sample,
+    # token_count_gate, vector_norm_gate) now run FIRST; the five pushed
+    # past the cap (map_not_null/in_set/between/value_length/regex) are
+    # trivial single-agg map checks already driver-green in r01+r02+r03.
     return {
-        "map_not_null": q_map_not_null,
-        "map_in_set": q_map_in_set,
-        "map_between": q_map_between,
-        "map_value_length": q_map_value_length,
-        "map_regex": q_map_regex,
+        "decontamination_hits": q_decontamination_hits,
+        "repetition_profile": q_repetition_profile,
+        "stratified_sample": q_stratified_sample,
+        "token_count_gate": q_token_count_gate,
+        "vector_norm_gate": q_vector_norm_gate,
         "agg_profile": q_agg_profile,
         "unique_dup_rows": q_unique_dup_rows,
         "referential_orphans": q_referential_orphans,
@@ -1025,11 +1032,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbp_mean_bounds": q_rbp_mean_bounds,
         "partition_auto_hist": q_partition_auto_hist,
         "table_head": q_table_head,
-        "stratified_sample": q_stratified_sample,
-        "token_count_gate": q_token_count_gate,
-        "vector_norm_gate": q_vector_norm_gate,
-        "decontamination_hits": q_decontamination_hits,
-        "repetition_profile": q_repetition_profile,
+        "map_not_null": q_map_not_null,
+        "map_in_set": q_map_in_set,
+        "map_between": q_map_between,
+        "map_value_length": q_map_value_length,
+        "map_regex": q_map_regex,
     }
 
 

@@ -177,6 +177,11 @@ def contaminated_docs(
 
     The benchmark's distinct-gram relation is explicitly broadcast —
     the corpus side joins without shuffling (see module docstring).
+    SIZE ASSUMPTION behind that hint: the broadcast is bounded by the
+    benchmark's DISTINCT n-grams, not the corpus — real eval suites are
+    10^4–10^6 grams (≈MB with ``hash_fn='xxhash64'``, 8 bytes/gram). A
+    "benchmark" that is itself corpus-sized breaks the asymmetry this
+    operator is shaped around; pre-aggregate or shard it first.
     """
     if min_hits < 1:
         raise ValueError("min_hits must be >= 1")
@@ -206,12 +211,25 @@ def decontaminate(
     min_hits: int = 1,
     hash_fn: str = "xxhash64",
     benchmark_text_col: str | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """``corpus`` minus contaminated documents (broadcast left-anti join
-    on the contaminated-id set — null-id rows are never flagged, matching
-    the "cannot be contaminated" semantics of a doc with no grams)."""
+    """``corpus`` minus contaminated documents (left-anti join on the
+    contaminated-id set — null-id rows are never flagged, matching the
+    "cannot be contaminated" semantics of a doc with no grams).
+
+    Unlike the benchmark-gram side (bounded by the eval suite), the
+    flagged-id set is UNBOUNDED — a heavily contaminated corpus (or a low
+    ``min_hits`` against a big suite) can flag any fraction of a 100 TB
+    corpus, so a forced broadcast would OOM. Default ``broadcast=None``
+    lets AQE pick (it broadcasts small builds at runtime anyway);
+    ``True`` forces the hint (caller knows the flagged set is tiny),
+    ``False`` forbids it (``merge`` hint → sort-merge join)."""
     flagged = contaminated_docs(
         corpus, benchmark, text_col, id_col, n, min_hits, hash_fn,
         benchmark_text_col,
     ).select(id_col)
-    return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")
+    if broadcast is True:
+        flagged = F.broadcast(flagged)
+    elif broadcast is False:
+        flagged = flagged.hint("merge")
+    return corpus.join(flagged, on=id_col, how="left_anti")

@@ -234,6 +234,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"truncated WAV chunk: {e}") from None
     if data is None or n_ch is None:
         raise ValueError("WAV missing fmt/data chunk")
+    # a corrupt fmt chunk can declare 0 channels / 0 rate while still
+    # passing the PCM16 check — guard BEFORE the modulo so the error stays
+    # inside the ValueError contract (kernels flag the row, never die)
+    if n_ch == 0 or rate == 0:
+        raise ValueError("WAV fmt declares zero channels or sample rate")
     if len(data) % (2 * n_ch):
         raise ValueError("WAV data chunk not a whole number of frames")
     arr = np.frombuffer(data, dtype="<i2")

@@ -751,8 +751,11 @@ def _compile_contamination(cfg: ExpectationConfiguration) -> CompiledRelational:
         )
 
     def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
+        # no forced broadcast: the flagged-id set is unbounded (a heavily
+        # contaminated corpus can flag ANY fraction of its rows) — AQE
+        # broadcasts small builds at runtime, same policy as exist_in
         return df.join(
-            F.broadcast(_flagged(df, tables).select(id_column)),
+            _flagged(df, tables).select(id_column),
             on=id_column, how="left_semi",
         )
 

@@ -8,9 +8,10 @@ copy (case/whitespace) of an earlier document is still dropped.
 
 State-size story (the part that matters at 10^12 rows):
 
-- ``streaming_exact_dedup(..., watermark=None)`` keys state by the 8-byte
-  normalized-text hash — unbounded but minimal state (one hash per distinct
-  doc ever seen): right for bounded key universes or replay windows.
+- ``streaming_exact_dedup(..., watermark=None)`` keys state by a 12-byte
+  compound hash of the normalized text — unbounded but minimal state (one
+  key per distinct doc ever seen): right for bounded key universes or
+  replay windows.
 - ``watermark=(ts_col, delay)`` switches to
   ``dropDuplicatesWithinWatermark``: state is dropped once the event-time
   watermark passes, so steady-state memory is O(docs per delay window) —
@@ -46,16 +47,25 @@ def streaming_exact_dedup(
     from great_expectations_spark.operators.dedup import _norm
 
     c = F.col(text_col)
-    key = F.xxhash64(_norm(c) if normalize else c)
+    normed = _norm(c) if normalize else c
+    # Compound key: xxHash64 PLUS an independent Murmur3-32 (``F.hash``).
+    # A bare 64-bit key false-drops distinct docs by birthday collision —
+    # E[collisions] ~ N^2 / 2^65, i.e. tens of thousands at 10^12 distinct
+    # docs, and a dedup false-drop silently LOSES data. The 96-bit compound
+    # pushes that to N^2 / 2^97 ~ 6e-6 expected collisions at 10^12 docs —
+    # below any realistic corpus — for +4 bytes of state per distinct doc.
+    key = F.xxhash64(normed)
+    key2 = F.hash(normed)
+    _KEYS = ["__gx_dedup_key", "__gx_dedup_key2"]
     # null text hashes to a null key; dropDuplicates treats nulls as equal,
     # so route nulls around the dedup entirely (they pass through)
-    hashed = stream_df.withColumn("__gx_dedup_key", key)
-    nulls = hashed.filter(c.isNull()).drop("__gx_dedup_key")
+    hashed = stream_df.withColumn(_KEYS[0], key).withColumn(_KEYS[1], key2)
+    nulls = hashed.filter(c.isNull()).drop(*_KEYS)
     nonnull = hashed.filter(c.isNotNull())
     if watermark is not None:
         ts_col, delay = watermark
         nonnull = nonnull.withWatermark(ts_col, delay)
-        deduped = nonnull.dropDuplicatesWithinWatermark(["__gx_dedup_key"])
+        deduped = nonnull.dropDuplicatesWithinWatermark(_KEYS)
     else:
-        deduped = nonnull.dropDuplicates(["__gx_dedup_key"])
-    return deduped.drop("__gx_dedup_key").unionByName(nulls)
+        deduped = nonnull.dropDuplicates(_KEYS)
+    return deduped.drop(*_KEYS).unionByName(nulls)

@@ -447,6 +447,31 @@ class TestMultimodal:
         assert rate2 == 44100 and samples2.shape == (50, 2)
         assert (samples2 == stereo).all()
 
+    def test_wav_zero_channels_flags_not_kills(self, spark):
+        """A corrupt fmt chunk declaring n_channels=0 (audio_fmt=1,
+        bits=16 — passes the PCM16 check) must raise ValueError in
+        decode_wav, NOT ZeroDivisionError, so decode_audio_stats flags
+        the row instead of killing the job (round-3 advice regression)."""
+        import numpy as np
+
+        good = M.encode_wav(np.zeros(10, dtype=np.int16), 8000)
+        # fmt chunk: bytes 20-21 audio_fmt, 22-23 n_channels, 24-27 rate
+        zero_ch = bytearray(good)
+        zero_ch[22:24] = b"\x00\x00"
+        with pytest.raises(ValueError):
+            M.decode_wav(bytes(zero_ch))
+        zero_rate = bytearray(good)
+        zero_rate[24:28] = b"\x00\x00\x00\x00"
+        with pytest.raises(ValueError):
+            M.decode_wav(bytes(zero_rate))
+        media = spark.createDataFrame(
+            [(0, good), (1, bytes(zero_ch)), (2, bytes(zero_rate))],
+            "media_id long, media binary",
+        )
+        out = {r["media_id"]: r["decode_ok"]
+               for r in M.decode_audio_stats(media).collect()}
+        assert out == {0: 1, 1: 0, 2: 0}
+
     def test_real_resize_and_features(self, spark):
         import numpy as np
 
@@ -657,6 +682,29 @@ class TestDecontamination:
             for r in X.decontaminate(corpus, eval_set, n=5).collect()
         )
         assert kept == [2, 3, 4, 5]
+
+    def test_decontaminate_broadcast_guard(self, corpus, eval_set):
+        """The flagged-id set is unbounded, so decontaminate must not
+        force-broadcast it (round-3 advice). Default → AQE decides;
+        broadcast=False forbids the hint (sort-merge join on the anti
+        side); broadcast=True forces it; all three return the same rows."""
+        from great_expectations_spark.operators import decontamination as X
+
+        expect = [2, 3, 4, 5]
+        for bc in (None, True, False):
+            kept = X.decontaminate(corpus, eval_set, n=5, broadcast=bc)
+            assert sorted(r["doc_id"] for r in kept.collect()) == expect
+        # optimized (pre-AQE) plan: no forced BroadcastExchange on the
+        # anti-join by default, present when forced
+        forced = X.decontaminate(corpus, eval_set, n=5, broadcast=True)
+        plan_forced = forced._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" in plan_forced or "broadcast" in plan_forced.lower()
+        forbid = X.decontaminate(corpus, eval_set, n=5, broadcast=False)
+        plan_forbid = forbid._jdf.queryExecution().executedPlan().toString()
+        anti = plan_forbid.split("LeftAnti")[0]
+        assert "SortMergeJoin" in plan_forbid or "ShuffledHashJoin" in plan_forbid, (
+            anti
+        )
 
     def test_short_docs_cannot_be_contaminated(self, spark, eval_set):
         from great_expectations_spark.operators import decontamination as X
