@@ -190,6 +190,48 @@ class SuiteRunner:
         # strictly sequential execution
         self.max_concurrent_jobs = max(1, int(max_concurrent_jobs))
 
+    _MONOTONE_TYPES = frozenset(
+        {
+            "expect_column_values_to_be_increasing",
+            "expect_column_values_to_be_decreasing",
+        }
+    )
+
+    def _default_monotone_windows(self, suite: ExpectationSuite) -> ExpectationSuite:
+        """Default ``partition_by`` for increasing/decreasing from the
+        runner's ``unexpected_index_column_names``: a suite that declares
+        identity columns (e.g. ``["conv_id", "turn_idx"]``) has already
+        named its natural window key, so the scale-hazardous GLOBAL window
+        (whole batch shuffled into one task) becomes opt-in — pass
+        ``partition_by=None`` explicitly for reference parity — instead of
+        the silent default. The target column itself is excluded from the
+        key (windowing turn_idx BY turn_idx would leave one row per
+        partition and make the check vacuous). The rewrite happens inside
+        ``validate`` only, AFTER the checkpoint manifest's ``suite_hash``
+        is taken from the user's suite, so checkpoint identity is stable."""
+        if not self.index_cols:
+            return suite
+        from great_expectations_spark.suite import ExpectationConfiguration
+
+        rewritten, changed = [], False
+        for cfg in suite.expectations:
+            if (
+                cfg.expectation_type in self._MONOTONE_TYPES
+                and "partition_by" not in cfg.kwargs
+            ):
+                keys = [c for c in self.index_cols if c != cfg.kwargs.get("column")]
+                if keys:
+                    cfg = ExpectationConfiguration(
+                        expectation_type=cfg.expectation_type,
+                        kwargs={**cfg.kwargs, "partition_by": keys},
+                        meta=cfg.meta,
+                    )
+                    changed = True
+            rewritten.append(cfg)
+        if not changed:
+            return suite
+        return ExpectationSuite(suite.name, rewritten, suite.meta)
+
     # ------------------------------------------------------------------ API
     def validate(
         self,
@@ -201,6 +243,7 @@ class SuiteRunner:
             from great_expectations_spark.suite import bind_evaluation_parameters
 
             suite = bind_evaluation_parameters(suite, evaluation_parameters)
+        suite = self._default_monotone_windows(suite)
         plan = plan_suite(suite)
         results_by_id: dict[str, ExpectationValidationResult] = {}
         violation_frames: list[DataFrame] = []

@@ -154,10 +154,45 @@ def test_increasing_detects_violation(spark):
     assert evr.result["unexpected_count"] == 1
 
 
-def test_decreasing(spark):
+def test_decreasing_global_window_warns(spark):
+    """Explicit global-window regression: no partition_by and no declared
+    index columns → reference-parity single-task window, with the loud
+    scale warning."""
     frame = spark.createDataFrame([(3,), (2,), (1,)], "v int")
-    evr = run_one(frame, "expect_column_values_to_be_decreasing", column="v")
+    with pytest.warns(UserWarning, match="GLOBAL window"):
+        evr = run_one(frame, "expect_column_values_to_be_decreasing", column="v")
     assert evr.success is True
+
+
+def test_monotone_defaults_window_from_index_cols(spark):
+    """When the runner declares unexpected_index_column_names, an
+    increasing/decreasing expectation WITHOUT partition_by defaults its
+    window key to the declared identity columns (minus the target column)
+    — no global-window warning, per-key semantics."""
+    import warnings
+
+    from great_expectations_spark import ExpectationSuite, SuiteRunner
+
+    frame = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 0)], "conv_id string, turn_idx int"
+    )
+    suite = ExpectationSuite("mono-default")
+    suite.add("expect_column_values_to_be_increasing", column="turn_idx",
+              strictly=True, order_by="turn_idx")
+    runner = SuiteRunner(
+        spark, unexpected_index_column_names=["conv_id", "turn_idx"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        res = runner.validate(frame, suite)
+    evr = res.results[0]
+    # per-conv window: each conv strictly ascends → success; a GLOBAL
+    # window over the same rows sorts to 0,1,1,2 and strictly fails
+    assert evr.success is True
+    # the user's suite object is untouched (checkpoint suite_hash stability)
+    assert "partition_by" not in suite.expectations[0].kwargs
+    # the EVR records what actually ran
+    assert evr.expectation_config["kwargs"]["partition_by"] == ["conv_id"]
 
 
 # ---------------------------------------------------------------------------
