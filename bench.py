@@ -25,6 +25,14 @@ Environment:
     SPARK_GRAFT_SF_DIR  parquet dir   (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[N]      (default 32)
     BENCH_TURNS         transcript rows override (default 2_000_000 * sf * 10)
+    BENCH_SWEEPS        interleaved full-set sweeps, min per query (default 5)
+
+Noise protocol (round 4): queries run as INTERLEAVED sweeps — the whole set
+once per sweep, BENCH_SWEEPS times, per-query min reported and the raw
+per-sweep sample lists published in the JSON (``samples``). A host noise
+burst then costs one sweep of every query instead of every sample of one
+query, making round-over-round deltas attributable (BENCH/BASELINE.md
+measured 2.6x spread on identical configs with the old back-to-back form).
 """
 
 from __future__ import annotations
@@ -369,31 +377,35 @@ def main() -> None:
         wanted = {q.strip() for q in only.split(",")}
         queries = {k: v for k, v in queries.items() if k in wanted}
 
-    # BENCH_REPEAT>1: run each query N times in-JVM and report the MIN —
-    # the sandbox host shows >2x run-to-run noise on identical jobs, and the
-    # minimum is the least-contended (most cluster-representative) sample
-    n_repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    # INTERLEAVED sweeps (round-4 protocol, matching BENCH/BASELINE.md):
+    # the host shows >2x multi-tenancy noise, and back-to-back repeats of
+    # ONE query let a noise burst poison every sample of that query while
+    # leaving the others clean — which made r02→r03 drift unattributable.
+    # Instead run the FULL query set as one sweep, repeat BENCH_SWEEPS
+    # times (default 5), take the per-query MIN across sweeps (the
+    # least-contended, cluster-representative sample), and publish the raw
+    # per-sweep sample lists so any residual drift is attributable.
+    n_sweeps = max(1, int(os.environ.get("BENCH_SWEEPS",
+                                         os.environ.get("BENCH_REPEAT", "5"))))
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in queries}
     extras: dict[str, dict] = {}
-    for name, fn in queries.items():
-        best = None
-        # the headline north_rule metric gets one extra sample: host
-        # multi-tenancy noise bursts measured 2-4x on identical jobs, and
-        # the min is the cluster-representative number
-        reps = max(n_repeat, 4) if name == "suite_transcripts" else n_repeat
-        for _ in range(reps):
+    failed: set[str] = set()
+    for _sweep in range(n_sweeps):
+        for name, fn in queries.items():
+            if name in failed:
+                continue
             t0 = time.monotonic()
             try:
                 extras[name] = fn(spark)
-                dt = round(time.monotonic() - t0, 3)
-                best = dt if best is None else min(best, dt)
+                samples[name].append(round(time.monotonic() - t0, 3))
             except Exception as exc:  # noqa: BLE001 — report, don't die
-                best = -1.0
+                failed.add(name)
                 extras[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-                break
-        timings[name] = best if best is not None else -1.0
 
+    timings = {
+        name: (min(s) if s else -1.0) for name, s in samples.items()
+    }
     total = round(sum(t for t in timings.values() if t > 0), 3)
     suite_s = timings.get("suite_transcripts", 0)
     out = {
@@ -406,6 +418,8 @@ def main() -> None:
         "effective_cores": EFFECTIVE_CORES,
         "transcript_turns": N_TURNS,
         "turns_per_sec": round(N_TURNS / suite_s, 1) if suite_s and suite_s > 0 else None,
+        "protocol": f"interleaved sweeps x{n_sweeps}, per-query min, single JVM",
+        "samples": samples,
         "extras": extras,
     }
     print(json.dumps(out))
