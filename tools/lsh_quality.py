@@ -38,7 +38,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
 GT_JACCARD = float(os.environ.get("LSH_GT_JACCARD", "0.8"))
 
 VOCAB = (
@@ -115,8 +114,9 @@ def main():
         verify_pairs_ngram_jaccard,
     )
 
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     spark = build_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
-    docs = planted_corpus(spark, N_DOCS).persist()
+    docs = planted_corpus(spark, n_docs).persist()
     n = docs.count()
 
     t0 = time.monotonic()
@@ -219,9 +219,19 @@ def write_md(r):
         "",
         "Reading the curve: more bands (fewer rows/band) lowers the LSH",
         "threshold — recall rises, candidate precision falls (more verify",
-        "work). SimHash hamming radius trades the same way. The pytest floor",
-        "(tests/test_lsh_quality.py) pins the DEFAULT configs at recall ≥ 0.95",
-        "on this corpus so a regression in the banding/pigeonhole math fails CI.",
+        "work). The sweep passes `min_jaccard=None` to measure RAW candidate",
+        "recall; the operator's default `min_jaccard=0.8` estimate filter",
+        "restores precision on the wide-band configs before the verify join.",
+        "",
+        "SimHash is the coarser sketch: its contract is a HAMMING radius, not",
+        "a Jaccard threshold — at J≥0.8 ground truth its J-recall tops out",
+        "well below minhash's (table above; use minhash when the dedup spec",
+        "is a Jaccard threshold, simhash when it is 'nearly identical').",
+        "Within its claimed radius the pigeonhole construction is EXACT.",
+        "",
+        "Pytest floors (tests/test_lsh_quality.py): minhash default recall",
+        "≥ 0.95 vs J≥0.8 truth; simhash default recall = 1.0 on the truth",
+        "pairs inside its hamming≤3 radius (the pigeonhole guarantee).",
         "",
         f"Raw: `{json.dumps(r)}`",
         "",
