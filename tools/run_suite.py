@@ -46,6 +46,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--index-cols", default="conv_id,turn_idx",
                    help="comma-separated unexpected-index columns")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--docs", default=None, metavar="DIR",
+                   help="render a static Data Docs site into DIR after the "
+                        "run (reads only the EVR store / result object — "
+                        "O(partitions), never O(data))")
     return p.parse_args(argv)
 
 
@@ -93,12 +97,22 @@ def main(argv: list[str]) -> int:
         )
         res = ckpt.run(df, suite, run_id=run_id, partition_col=args.partition_col)
         n_ok = sum(1 for r in res.validated if r.result and r.result.success)
+        docs_index = None
+        if args.docs:
+            if not args.evr:
+                print("--docs requires --evr (the site renders the EVR store)",
+                      file=sys.stderr)
+                return 2
+            from great_expectations_spark.docs import build_data_docs
+
+            docs_index = build_data_docs(spark, args.evr, args.docs, suite=suite)
         print(json.dumps({
             "run_id": run_id,
             "partitions_validated": len(res.validated),
             "partitions_skipped": len(res.skipped),
             "partitions_passed": n_ok,
             "success": res.success,
+            "docs_index": docs_index,
         }))
         return 0 if res.success else 1
 
@@ -108,8 +122,23 @@ def main(argv: list[str]) -> int:
         violations_path=args.violations,
     )
     result = runner.validate(df, suite)
+    docs_index = None
+    if args.docs:
+        import os
+
+        from great_expectations_spark.docs import (
+            render_result_html,
+            render_suite_html,
+        )
+
+        os.makedirs(args.docs, exist_ok=True)
+        docs_index = os.path.join(args.docs, "index.html")
+        with open(docs_index, "w") as f:
+            f.write(render_result_html(result))
+        with open(os.path.join(args.docs, "suite.html"), "w") as f:
+            f.write(render_suite_html(suite))
     print(json.dumps({"run_id": run_id, "statistics": result.statistics,
-                      "success": result.success}))
+                      "success": result.success, "docs_index": docs_index}))
     return 0 if result.success else 1
 
 
