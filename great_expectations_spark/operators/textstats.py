@@ -226,7 +226,8 @@ def kgram_fingerprints(
 
 
 def kgram_fingerprint_rows(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8, p: int = 4
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, p: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fp) rows of distinct selected k-gram fingerprints per doc —
     the DataFrame-level path for :func:`kgram_fingerprints`.
@@ -235,9 +236,21 @@ def kgram_fingerprint_rows(
     (measured ~90µs/row under explode); here gram positions explode through
     GenerateExec and the substring+hash+mod-p selection is whole-stage
     codegen. Same "0 mod p" selection and same min-hash fallback for docs
-    that select nothing."""
-    from great_expectations_spark.operators.dedup import _ensure_parallelism
+    that select nothing.
 
+    ``hash_fn='md5'`` swaps the gram hash for the 60-bit md5-derived form
+    (``operators.dedup._md5num``) so an ANSI/DuckDB oracle can replay the
+    whole selection; xxhash64 stays the production default (one JVM
+    intrinsic per gram vs md5's digest + hex + base conversion). The
+    "0 mod p" selection rate is the same under either hash."""
+    from great_expectations_spark.operators.dedup import (
+        _check_hash_fn,
+        _ensure_parallelism,
+        _md5num,
+    )
+
+    _check_hash_fn(hash_fn)
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else _md5num
     base = (
         _ensure_parallelism(df.filter(F.col(text_col).isNotNull()), id_col)
         .select(
@@ -251,7 +264,7 @@ def kgram_fingerprint_rows(
         F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__p"),
         "__t",
     ).select(
-        "__id", F.xxhash64(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("fp")
+        "__id", hasher(F.col("__t").substr(F.col("__p"), F.lit(k))).alias("fp")
     )
     selected = grams.filter(F.pmod("fp", F.lit(p)) == 0).distinct()
     fallback = (

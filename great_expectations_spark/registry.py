@@ -725,6 +725,88 @@ def _compile_rc_other(cfg: ExpectationConfiguration) -> CompiledRelational:
     return CompiledRelational(cfg=cfg, run=run)
 
 
+@register("expect_column_values_to_be_contiguous")
+def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
+    """Per-group dense-sequence check (extension; no upstream counterpart —
+    transcript-native): within each ``group_by`` group, the non-null values
+    of ``column`` must be exactly ``start, start+1, …, start+n-1`` — no
+    gaps, no duplicates, correct origin. The north-rule invariant "per-turn
+    ordering under stable (conv_id, turn_idx)" is only checkable if
+    turn_idx is dense per conv_id; this is that check as a first-class
+    suite member (e.g. ``column='turn_idx', group_by=['conv_id']``; TPC-H
+    analog ``l_linenumber`` per ``l_orderkey`` with ``start=1``).
+
+    ONE shuffle on the group key: groupBy → count/min/max/count_distinct,
+    then a tiny second-stage agg over the per-group rows. A group is never
+    wider than its sequence length (turns per conversation), so there is no
+    hot-key salting concern — per-group state is four scalars regardless of
+    corpus size. ``mostly`` applies over GROUPS (fraction of groups that
+    are contiguous), matching how a user reads "99% of conversations are
+    well-formed"."""
+    column = cfg.kwargs["column"]
+    group_by = list(cfg.kwargs["group_by"])
+    start = int(cfg.kwargs.get("start", 0))
+    mostly = cfg.mostly
+
+    def _group_stats(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(column).isNotNull())
+            .groupBy(*group_by)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(column).alias("__mn"),
+                F.max(column).alias("__mx"),
+                F.count_distinct(F.col(column)).alias("__nd"),
+            )
+        )
+
+    def _bad(stats: DataFrame) -> DataFrame:
+        return stats.filter(
+            ~(
+                (F.col("__mn") == start)
+                & (F.col("__mx") == start + F.col("__n") - 1)
+                & (F.col("__nd") == F.col("__n"))
+            )
+        )
+
+    def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
+        # rows belonging to broken groups; the bad-group set is small in the
+        # passing regime, so AQE broadcasts the build side (no forced hint —
+        # a wholly-broken table would flag every group)
+        return df.join(_bad(_group_stats(df)).select(*group_by), on=group_by,
+                       how="left_semi")
+
+    def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+        from great_expectations_spark.result import calc_map_success
+
+        row = _group_stats(df).agg(
+            F.count(F.lit(1)).alias("tg"),
+            F.sum(
+                F.when(
+                    (F.col("__mn") == start)
+                    & (F.col("__mx") == start + F.col("__n") - 1)
+                    & (F.col("__nd") == F.col("__n")),
+                    0,
+                ).otherwise(1)
+            ).alias("bg"),
+        ).collect()[0]
+        total_groups = int(row["tg"] or 0)
+        bad_groups = int(row["bg"] or 0)
+        success = calc_map_success(total_groups, 0, bad_groups, mostly)
+        return success, {
+            "element_count": total_groups,
+            "unexpected_count": bad_groups,
+            "unexpected_percent": (
+                100.0 * bad_groups / total_groups if total_groups else None
+            ),
+        }
+
+    return CompiledRelational(
+        cfg=cfg, run=run, violations=_viol, mostly=mostly,
+        result_format=parse_result_format(cfg.kwargs.get("result_format")),
+    )
+
+
 @register("expect_table_benchmark_contamination_rate_to_be_less_than")
 def _compile_contamination(cfg: ExpectationConfiguration) -> CompiledRelational:
     """Training-data gate (extension; no upstream counterpart): the

@@ -793,3 +793,63 @@ class TestTrainingDataGates:
         )
         v = spark.read.parquet(vp)
         assert v.count() == 2  # exactly the two contaminated docs
+
+
+# ---------------------------------------------------------------------------
+# per-group dense-sequence check (extension; the transcripts turn_idx
+# well-formedness invariant as a first-class expectation)
+# ---------------------------------------------------------------------------
+
+class TestContiguous:
+    @pytest.fixture(scope="class")
+    def turns(self, spark):
+        rows = [
+            ("c1", 0), ("c1", 1), ("c1", 2),   # dense from 0 — ok
+            ("c2", 0), ("c2", 2),              # gap (missing 1)
+            ("c3", 1), ("c3", 2),              # wrong origin for start=0
+            ("c4", 0), ("c4", 0), ("c4", 1),   # duplicate index
+            ("c5", None), ("c5", 0),           # null index ignored → dense
+        ]
+        return spark.createDataFrame(rows, "conv_id string, turn_idx int")
+
+    def test_gap_dup_origin_all_flagged(self, turns):
+        r = run_one(
+            turns, "expect_column_values_to_be_contiguous",
+            column="turn_idx", group_by=["conv_id"], start=0,
+        )
+        assert r.success is False
+        assert r.result["element_count"] == 5   # groups
+        assert r.result["unexpected_count"] == 3  # c2 gap, c3 origin, c4 dup
+
+    def test_mostly_over_groups(self, turns):
+        r = run_one(
+            turns, "expect_column_values_to_be_contiguous",
+            column="turn_idx", group_by=["conv_id"], start=0, mostly=0.4,
+        )
+        assert r.success is True  # 2/5 groups pass ≥ 0.4
+
+    def test_start_offset(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 2)], "g string, i int"
+        )
+        r = run_one(
+            df, "expect_column_values_to_be_contiguous",
+            column="i", group_by=["g"], start=1,
+        )
+        assert r.success is False
+        assert r.result["unexpected_count"] == 1  # b starts at 2
+
+    def test_violations_sink_rows_of_broken_groups(self, spark, turns, tmp_path):
+        vp = str(tmp_path / "viol")
+        suite = ExpectationSuite("contig")
+        suite.add(
+            "expect_column_values_to_be_contiguous",
+            column="turn_idx", group_by=["conv_id"], start=0,
+        )
+        SuiteRunner(
+            spark, violations_path=vp,
+            unexpected_index_column_names=["conv_id"],
+        ).validate(turns, suite)
+        v = spark.read.parquet(vp)
+        got = {r["conv_id"] for r in v.collect()}
+        assert got == {"c2", "c3", "c4"}

@@ -370,6 +370,36 @@ class TestTextStats:
         assert (1, 2) in got
         assert (1, 3) not in got
 
+    def test_kgram_rows_md5_mode_selects_and_falls_back(self, spark):
+        # md5 oracle mode: same "0 mod p" selection semantics as the
+        # xxhash64 default — every doc ≥ k chars yields ≥1 print (fallback
+        # min when nothing ≡ 0 mod p), and the hashes are the 60-bit
+        # md5-derived values DuckDB can reproduce (dedup._md5num contract)
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(1, "The quick Brown fox jumps over the lazy dog"),
+             (2, "tiny"), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = T.kgram_fingerprint_rows(
+            df, "text", "doc_id", k=8, p=4, hash_fn="md5"
+        ).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["__id"], set()).add(r["fp"])
+        assert 1 in by_id and len(by_id[1]) >= 1
+        assert 2 not in by_id and 3 not in by_id  # too short / null
+        t = "the quick brown fox jumps over the lazy dog"
+        expected = {
+            int(hashlib.md5(t[i:i + 8].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - 7)
+        }
+        sel = {h for h in expected if h % 4 == 0}
+        assert by_id[1] == (sel or {min(expected)})
+        with pytest.raises(ValueError):
+            T.kgram_fingerprint_rows(df, "text", "doc_id", hash_fn="sha1")
+
     def test_document_fingerprint_normalizes(self, spark):
         df = spark.createDataFrame(
             [("Hello  World", "hello world")], "a string, b string"
