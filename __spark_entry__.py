@@ -978,6 +978,144 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stat_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four statistical-test metrics in ONE long-format result — chisquare
+    goodness-of-fit, boundary-KS, parameterized-KS, Cramér's phi (formerly
+    the separate chisq_stat / ks_boundary_stat / param_ks_stat /
+    cramers_phi driver rows, green since r02/r03; merged to keep the
+    registry at the driver's 50-row cap with identical per-test rigor —
+    the oracle is the UNION ALL of the four originals, labeled)."""
+    c = q_chisq_stat(spark, sf_dir).collect()[0]
+    k = q_ks_boundary_stat(spark, sf_dir).collect()[0]
+    p = q_param_ks_stat(spark, sf_dir).collect()[0]
+    f = q_cramers_phi(spark, sf_dir).collect()[0]
+    rows = [
+        ("chisq", float(c["chisq_stat"]), int(c["df"])),
+        ("ks_boundary", float(k["ks_stat"]), int(k["n"])),
+        ("param_ks", float(p["ks_stat"]), int(p["n"])),
+        ("cramers_phi", float(f["phi"]), 0),
+    ]
+    return spark.createDataFrame(
+        rows, "test string, statistic double, param long"
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + Luhn-verified card counting + redaction
+    (operators/pii.py) over documents with deterministically PLANTED PII
+    (the corpus text itself is digit-free word salad): emails on doc_id%5,
+    ipv4 on %7, a Luhn-VALID card on %11, a Luhn-INVALID card on %13
+    (must count 0 — the oracle replays the checksum with list HOFs),
+    ssn+phone on %17. redacted_chars value-hashes the chained
+    regexp_replace redaction end-to-end on both engines."""
+    from great_expectations_spark.operators import pii as P
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" host 10.2."),
+                         (F.col("doc_id") % 200).cast("string"),
+                         F.lit(".4")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" card 4532 0151 1283 0366")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" card 4532-0151-1283-0367")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(" ssn 987-65-4320 call (415) 555-2671")
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = P.scan_pii(planted, "text")
+    return scanned.agg(
+        F.sum("pii_email_count").cast("long").alias("emails"),
+        F.sum("pii_ipv4_count").cast("long").alias("ipv4s"),
+        F.sum("pii_phone_count").cast("long").alias("phones"),
+        F.sum("pii_ssn_count").cast("long").alias("ssns"),
+        F.sum("pii_credit_card_count").cast("long").alias("cards"),
+        F.sum(F.when(F.col("pii_total_count") > 0, 1).otherwise(0))
+        .cast("long").alias("docs_with_pii"),
+        F.sum(F.length(P.redact_pii(F.col("text"))))
+        .cast("long").alias("redacted_chars"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line dedup (operators/lines.py): documents are
+    reshaped to 3 lines each (two text slices + a boilerplate line planted
+    on doc_id%3); strip_duplicate_lines(min_docs=5) must remove the
+    boilerplate from every doc — and any genuinely coincident slices —
+    keeping original line order. The oracle replays normalization
+    (trim/lower/whitespace-fold), the ≥5-distinct-docs rule, the blank-line
+    exclusion, and the ordered rebuild."""
+    from great_expectations_spark.operators.lines import (
+        duplicate_line_hashes,
+        strip_duplicate_lines,
+    )
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("subscribe to our newsletter today"))
+            .otherwise(F.substring("text", 81, 40)),
+        ).alias("text"),
+    )
+    res = strip_duplicate_lines(planted, min_docs=5, out_col="stripped")
+    agg1 = res.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("stripped") != F.col("text"), 1).otherwise(0))
+        .cast("long").alias("docs_changed"),
+        F.sum(F.length("stripped")).cast("long").alias("kept_chars"),
+    )
+    agg2 = duplicate_line_hashes(planted, min_docs=5).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_lines")
+    )
+    return agg1.crossJoin(agg2)
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + host normalization + corpus domain table
+    (operators/urls.py::domain_counts) over documents with planted URLs
+    (mixed-case hosts, userinfo/port forms, www. prefixes — the
+    normalization is what the value hash proves): per-domain URL
+    occurrences and distinct citing docs."""
+    from great_expectations_spark.operators.urls import domain_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" see https://site"),
+                         (F.col("doc_id") % 20).cast("string"),
+                         F.lit(".Example.com/p?x="),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" ref http://u:p@www.Blocked.example.NET:8080/x")
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_counts(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records at most 50
     # rows in registry order (CORRECTNESS_r03 = exactly the first 50 keys).
@@ -992,6 +1130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_count_gate": q_token_count_gate,
         "vector_norm_gate": q_vector_norm_gate,
+        # round-4 curation family (new): PII scan/redact, corpus line
+        # dedup, URL domain stats — fronted so their first driver round
+        # records them even if the registry ever exceeds the cap again.
+        "pii_scan": q_pii_scan,
+        "line_dedup": q_line_dedup,
+        "url_domain_stats": q_url_domain_stats,
         "map_basic_checks": q_map_basic_checks,
         "contiguous_index": q_contiguous_index,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1027,10 +1171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_checks": q_pair_checks,
         "multicolumn_checks": q_multicolumn_checks,
         "kl_continuous": q_kl_continuous,
-        "chisq_stat": q_chisq_stat,
-        "ks_boundary_stat": q_ks_boundary_stat,
-        "param_ks_stat": q_param_ks_stat,
-        "cramers_phi": q_cramers_phi,
+        # chisq / boundary-KS / param-KS / cramers-phi merged into ONE
+        # long-format slot (round 4) to fund the three new curation rows
+        # under the 50-row cap — per-test rigor unchanged (labeled UNION).
+        "stat_tests": q_stat_tests,
         "agg_extras": q_agg_extras,
         "most_common_value": q_most_common_value,
         "rowcount_vs_other": q_rowcount_vs_other,
@@ -1041,6 +1185,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_base()
+    # round 4: the four single-row stat oracles become ONE labeled UNION —
+    # byte-identical math, one registry slot (pairs with q_stat_tests).
+    o["stat_tests"] = (
+        f"SELECT 'chisq' AS test, chisq_stat AS statistic, df AS param "
+        f"FROM ({o.pop('chisq_stat')}) "
+        f"UNION ALL SELECT 'ks_boundary', ks_stat, n "
+        f"FROM ({o.pop('ks_boundary_stat')}) "
+        f"UNION ALL SELECT 'param_ks', ks_stat, n "
+        f"FROM ({o.pop('param_ks_stat')}) "
+        f"UNION ALL SELECT 'cramers_phi', phi, CAST(0 AS BIGINT) "
+        f"FROM ({o.pop('cramers_phi')})"
+    )
+    o.update(_curation_oracles())
+    return o
+
+
+def _curation_oracles() -> dict[str, str]:
+    """Round-4 curation-family oracles (pii_scan / line_dedup /
+    url_domain_stats) — every regex is RE2-safe and byte-identical to the
+    Spark side's pattern; DuckDB's regexp_replace needs the explicit 'g'
+    flag where Spark replaces globally by default."""
+    import great_expectations_spark.operators.pii as P
+    from great_expectations_spark.operators.urls import HOST_PATTERN, URL_PATTERN
+
+    def q(pat: str) -> str:  # SQL single-quote escaping
+        return pat.replace("'", "''")
+
+    email, ipv4 = q(P.PII_PATTERNS["email"]), q(P.PII_PATTERNS["ipv4"])
+    phone, ssn = q(P.PII_PATTERNS["phone"]), q(P.PII_PATTERNS["ssn"])
+    card = q(P.PII_PATTERNS["credit_card"])
+    # Luhn over one candidate string (digits-only helper repeated inline)
+    dg = "regexp_replace(cand, '[^0-9]', '', 'g')"
+    luhn = (
+        f"(list_sum(list_transform(range(1, len({dg}) + 1), i -> "
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN CAST(substring(reverse({dg}), i, 1) AS INT) * 2 > 9 "
+        f"THEN CAST(substring(reverse({dg}), i, 1) AS INT) * 2 - 9 "
+        f"ELSE CAST(substring(reverse({dg}), i, 1) AS INT) * 2 END "
+        f"ELSE CAST(substring(reverse({dg}), i, 1) AS INT) END)) % 10 = 0 "
+        f"AND len({dg}) BETWEEN 13 AND 19)"
+    )
+    redacted = "t"
+    for typ in P.REDACT_ORDER:  # same chain + order as redact_pii
+        redacted = (
+            f"regexp_replace({redacted}, '{q(P.PII_PATTERNS[typ])}', "
+            f"'[{typ.upper()}]', 'g')"
+        )
+    pii_scan = (
+        "WITH d AS (SELECT doc_id, text "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' contact user' "
+        "|| CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+        "|| CASE WHEN doc_id % 7 = 0 THEN ' host 10.2.' "
+        "|| CAST(doc_id % 200 AS VARCHAR) || '.4' ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 0 THEN ' card 4532 0151 1283 0366' "
+        "ELSE '' END "
+        "|| CASE WHEN doc_id % 13 = 0 THEN ' card 4532-0151-1283-0367' "
+        "ELSE '' END "
+        "|| CASE WHEN doc_id % 17 = 0 THEN "
+        "' ssn 987-65-4320 call (415) 555-2671' ELSE '' END AS t "
+        "FROM documents), "
+        "c AS (SELECT doc_id, t, "
+        f"coalesce(len(regexp_extract_all(t, '{email}')), 0) AS e, "
+        f"coalesce(len(regexp_extract_all(t, '{ipv4}')), 0) AS ip, "
+        f"coalesce(len(regexp_extract_all(t, '{phone}')), 0) AS ph, "
+        f"coalesce(len(regexp_extract_all(t, '{ssn}')), 0) AS ss, "
+        f"coalesce(len(list_filter(regexp_extract_all(t, '{card}'), "
+        f"cand -> {luhn})), 0) AS cc FROM d) "
+        "SELECT CAST(sum(e) AS BIGINT) AS emails, "
+        "CAST(sum(ip) AS BIGINT) AS ipv4s, "
+        "CAST(sum(ph) AS BIGINT) AS phones, "
+        "CAST(sum(ss) AS BIGINT) AS ssns, "
+        "CAST(sum(cc) AS BIGINT) AS cards, "
+        "CAST(sum(CASE WHEN e + ip + ph + ss + cc > 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS docs_with_pii, "
+        f"CAST(sum(len({redacted})) AS BIGINT) AS redacted_chars FROM c"
+    )
+
+    line_dedup = (
+        "WITH d AS (SELECT doc_id, concat_ws(chr(10), substr(text, 1, 40), "
+        "substr(text, 41, 40), CASE WHEN doc_id % 3 = 0 "
+        "THEN 'subscribe to our newsletter today' "
+        "ELSE substr(text, 81, 40) END) AS t "
+        "FROM documents WHERE text IS NOT NULL), "
+        "l AS (SELECT doc_id, t, "
+        "unnest(string_split(t, chr(10))) AS line, "
+        "unnest(range(0, len(string_split(t, chr(10))))) AS idx FROM d), "
+        "k AS (SELECT doc_id, t, idx, line, "
+        "CASE WHEN len(trim(line)) >= 1 THEN "
+        "regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') END AS key "
+        "FROM l), "
+        "dups AS (SELECT key FROM k WHERE key IS NOT NULL GROUP BY key "
+        "HAVING count(DISTINCT doc_id) >= 5), "
+        "kept AS (SELECT doc_id, any_value(t) AS t, "
+        "coalesce(string_agg(CASE WHEN key IS NULL "
+        "OR key NOT IN (SELECT key FROM dups) THEN line END, chr(10) "
+        "ORDER BY idx), '') AS stripped FROM k GROUP BY doc_id) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN stripped <> t THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS docs_changed, "
+        "CAST(sum(len(stripped)) AS BIGINT) AS kept_chars, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM dups) AS dup_lines FROM kept"
+    )
+
+    url_stats = (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') "
+        "|| CASE WHEN doc_id % 2 = 0 THEN ' see https://site' "
+        "|| CAST(doc_id % 20 AS VARCHAR) || '.Example.com/p?x=' "
+        "|| CAST(doc_id AS VARCHAR) ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 0 THEN "
+        "' ref http://u:p@www.Blocked.example.NET:8080/x' ELSE '' END AS t "
+        "FROM documents), "
+        f"u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{q(URL_PATTERN)}')) AS url FROM d), "
+        f"doms AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, "
+        f"'{q(HOST_PATTERN)}', 1)), '^www\\.', '') AS domain FROM u) "
+        "SELECT domain, CAST(count(*) AS BIGINT) AS n_urls, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doms "
+        "WHERE domain <> '' GROUP BY domain"
+    )
+    return {
+        "pii_scan": pii_scan,
+        "line_dedup": line_dedup,
+        "url_domain_stats": url_stats,
+    }
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         # the whole §2.3 basic-map family in one long-format UNION — each
         # branch is byte-identical to the standalone oracle it replaces

@@ -472,6 +472,28 @@ def vector_norms_be_between(
     return MapCondition([column], _nonnull_domain(column), cond, n)
 
 
+def contain_no_pii(
+    column: str,
+    types: list[str] | None = None,
+    **_: Any,
+) -> MapCondition:
+    """Extension: the document contains zero PII matches of the requested
+    classes (operators/pii.py; credit_card matches are Luhn-verified so
+    random digit runs don't fire the gate). ``mostly`` bounds the tolerated
+    fraction of PII-bearing docs; the observed value in violation rows is
+    the comma-joined list of classes found (e.g. ``"email,ipv4"``).
+    Pure codegen regexp expressions — map-only at any scale."""
+    from great_expectations_spark.operators.pii import pii_total, pii_types_found
+
+    c = _col(column)
+    return MapCondition(
+        [column],
+        _nonnull_domain(column),
+        pii_total(c, types) == 0,
+        pii_types_found(c, types),
+    )
+
+
 # --- window-backed conditions ----------------------------------------------
 
 def increasing(

@@ -155,6 +155,7 @@ _MAP_BUILDERS: dict[str, Callable[..., MapCondition]] = {
     # extensions: training-data pipeline gates as first-class expectations
     "expect_column_token_counts_to_be_between": C.token_counts_be_between,
     "expect_column_vector_norms_to_be_between": C.vector_norms_be_between,
+    "expect_column_values_to_contain_no_pii": C.contain_no_pii,
 }
 
 _MAP_NON_CONDITION_KWARGS = {
