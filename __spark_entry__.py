@@ -1116,6 +1116,92 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_counts(planted)
 
 
+def q_text_gate_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token totals + the two text-quality gates in ONE long-format
+    result (formerly the separate token_counts / quality_filter /
+    lang_en_stopword_gate driver rows, green since r01/r02; merged to fund
+    the round-4 unigram-LM and URL-blocklist rows under the driver's
+    50-row cap — the oracle is the labeled UNION ALL of the originals)."""
+    from functools import reduce
+
+    t = q_token_counts(spark, sf_dir).collect()[0]
+    parts = [
+        spark.createDataFrame(
+            [("ws_tokens", int(t["ws_tokens"])),
+             ("bpe_tokens", int(t["bpe_tokens"]))],
+            "check string, value long",
+        ),
+        q_quality_filter(spark, sf_dir).select(
+            F.lit("quality_pass").alias("check"),
+            F.col("passing_docs").alias("value"),
+        ),
+        q_lang_en_stopword_gate(spark, sf_dir).select(
+            F.lit("lang_en").alias("check"),
+            F.col("en_docs").alias("value"),
+        ),
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-lite corpus-fit quality scoring (operators/lm.py): top-100
+    unigram vocabulary estimated from the corpus itself (deterministic
+    count-DESC/token-ASC boundary), per-doc mean token log-prob with the
+    rarest-in-vocab−ln2 OOV penalty. The oracle replays tokenization, the
+    top-K cut, the OOV derivation, and the per-doc averaging in SQL."""
+    from great_expectations_spark.operators.lm import (
+        score_documents,
+        unigram_vocab,
+    )
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vocab = unigram_vocab(docs, top_k=100)
+    scores = score_documents(docs, vocab)
+    return scores.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("mean_logp"), 6).alias("avg_logp"),
+        F.round(F.min("mean_logp"), 6).alias("min_logp"),
+        F.round(F.max("mean_logp"), 6).alias("max_logp"),
+        F.sum("n_scored").cast("long").alias("scored_tokens"),
+    )
+
+
+def q_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklisted-domain flag (operators/urls.py::flag_blocklisted_domains,
+    AQE-decided semi-join on exploded (id, domain)): the planted corpus
+    from url_domain_stats against a blocklist whose entries are
+    deliberately un-normalized (www. prefix, mixed case) — the count
+    proves both sides normalize before matching."""
+    from great_expectations_spark.operators.urls import flag_blocklisted_domains
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" see https://site"),
+                         (F.col("doc_id") % 20).cast("string"),
+                         F.lit(".Example.com/p?x="),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" ref http://u:p@www.Blocked.example.NET:8080/x")
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bl = spark.createDataFrame(
+        [("www.Blocked.example.net",), ("evil.org",)], "domain string"
+    )
+    flagged = flag_blocklisted_domains(planted, bl)
+    return flagged.agg(
+        F.sum(F.when(F.col("blocklisted"), 1).otherwise(0))
+        .cast("long").alias("blocked_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness records at most 50
     # rows in registry order (CORRECTNESS_r03 = exactly the first 50 keys).
@@ -1136,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "line_dedup": q_line_dedup,
         "url_domain_stats": q_url_domain_stats,
+        "url_blocklist_gate": q_url_blocklist_gate,
+        "unigram_logprob": q_unigram_logprob,
         "map_basic_checks": q_map_basic_checks,
         "contiguous_index": q_contiguous_index,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1146,9 +1234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count": q_distinct_count,
         "value_counts": q_value_counts,
         "exact_dedup_kept": q_exact_dedup_kept,
-        "token_counts": q_token_counts,
-        "quality_filter": q_quality_filter,
-        "lang_en_stopword_gate": q_lang_en_stopword_gate,
+        # token_counts / quality_filter / lang_en_stopword_gate merged
+        # into ONE long-format slot (round 4) to fund the unigram-LM and
+        # URL-blocklist rows — per-check rigor unchanged (labeled UNION).
+        "text_gate_checks": q_text_gate_checks,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_top1": q_ann_top1,
         "minhash_pairs": q_minhash_pairs,
@@ -1197,6 +1286,18 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({o.pop('param_ks_stat')}) "
         f"UNION ALL SELECT 'cramers_phi', phi, CAST(0 AS BIGINT) "
         f"FROM ({o.pop('cramers_phi')})"
+    )
+    # round 4 (second pass): token_counts + quality_filter +
+    # lang_en_stopword_gate become ONE labeled UNION (pairs with
+    # q_text_gate_checks) — byte-identical math, one registry slot.
+    tc = o.pop("token_counts")
+    o["text_gate_checks"] = (
+        f"SELECT 'ws_tokens' AS check, ws_tokens AS value FROM ({tc}) "
+        f"UNION ALL SELECT 'bpe_tokens', bpe_tokens FROM ({tc}) "
+        f"UNION ALL SELECT 'quality_pass', passing_docs "
+        f"FROM ({o.pop('quality_filter')}) "
+        f"UNION ALL SELECT 'lang_en', en_docs "
+        f"FROM ({o.pop('lang_en_stopword_gate')})"
     )
     o.update(_curation_oracles())
     return o
@@ -1305,10 +1406,57 @@ def _curation_oracles() -> dict[str, str]:
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doms "
         "WHERE domain <> '' GROUP BY domain"
     )
+    # tokenization identical to operators/textstats.tokens: lower, trim,
+    # split on \s+, drop empties; ln() is natural log on both engines.
+    toks = (
+        "SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim("
+        "text)), '\\s+'), x -> len(x) > 0)) AS token "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    unigram = (
+        f"WITH toks AS ({toks}), "
+        "cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token), "
+        "tot AS (SELECT sum(c) AS t FROM cnt), "
+        "vocab AS (SELECT token, ln(c / t) AS logp FROM cnt, tot "
+        "ORDER BY c DESC, token ASC LIMIT 100), "
+        "oov AS (SELECT min(logp) - ln(2) AS ol FROM vocab), "
+        "scores AS (SELECT doc_id, "
+        "avg(coalesce(v.logp, (SELECT ol FROM oov))) AS mean_logp, "
+        "count(*) AS n_scored FROM toks LEFT JOIN vocab v USING (token) "
+        "GROUP BY doc_id) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(mean_logp), 6) AS avg_logp, "
+        "round(min(mean_logp), 6) AS min_logp, "
+        "round(max(mean_logp), 6) AS max_logp, "
+        "CAST(sum(n_scored) AS BIGINT) AS scored_tokens FROM scores"
+    )
+
+    blocklist_gate = (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') "
+        "|| CASE WHEN doc_id % 2 = 0 THEN ' see https://site' "
+        "|| CAST(doc_id % 20 AS VARCHAR) || '.Example.com/p?x=' "
+        "|| CAST(doc_id AS VARCHAR) ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 0 THEN "
+        "' ref http://u:p@www.Blocked.example.NET:8080/x' ELSE '' END AS t "
+        "FROM documents), "
+        f"u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+        f"'{q(URL_PATTERN)}')) AS url FROM d), "
+        f"doms AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, "
+        f"'{q(HOST_PATTERN)}', 1)), '^www\\.', '') AS domain FROM u), "
+        # blocklist entries normalized the same way the operator does
+        "bl AS (SELECT regexp_replace(lower(domain), '^www\\.', '') AS b "
+        "FROM (VALUES ('www.Blocked.example.net'), ('evil.org')) v(domain)), "
+        "hits AS (SELECT DISTINCT doc_id FROM doms WHERE domain IN "
+        "(SELECT b FROM bl)) "
+        "SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS blocked_docs, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM d"
+    )
     return {
         "pii_scan": pii_scan,
         "line_dedup": line_dedup,
         "url_domain_stats": url_stats,
+        "unigram_logprob": unigram,
+        "url_blocklist_gate": blocklist_gate,
     }
 
 

@@ -349,6 +349,37 @@ def q_repetition(spark: SparkSession) -> dict:
     return {"rows": row["docs"], "repetitive": int(row["repetitive"] or 0)}
 
 
+def q_pii_scan(spark: SparkSession) -> dict:
+    """Map-only PII scan + Luhn HOF + redaction over documents — tracks
+    the per-row regexp/codegen cost (round 4; operators/pii.py)."""
+    from great_expectations_spark.operators.pii import redact_pii, scan_pii
+
+    docs = _load(spark, "documents")
+    scanned = scan_pii(docs, "text")
+    row = scanned.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("pii_total_count") > 0, 1).otherwise(0))
+        .alias("flagged"),
+        F.sum(F.length(redact_pii(F.col("text")))).alias("chars"),
+    ).collect()[0]
+    return {"rows": row["docs"], "flagged": int(row["flagged"] or 0)}
+
+
+def q_line_dedup(spark: SparkSession) -> dict:
+    """C4-style corpus line dedup over documents (round 4;
+    operators/lines.py) — slim-hash shuffle + HOF rebuild."""
+    from great_expectations_spark.operators.lines import strip_duplicate_lines
+
+    docs = _load(spark, "documents")
+    out = strip_duplicate_lines(docs, min_docs=2, out_col="stripped")
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("stripped") != F.col("text"), 1).otherwise(0))
+        .alias("changed"),
+    ).collect()[0]
+    return {"rows": row["docs"], "changed": int(row["changed"] or 0)}
+
+
 def main() -> None:
     spark = build_spark()
     # warm the JVM + generate the bucketed transcripts table + KL baseline
@@ -369,6 +400,8 @@ def main() -> None:
         "text_stats": q_text_stats,
         "decontamination": q_decontamination,
         "repetition": q_repetition,
+        "pii_scan": q_pii_scan,
+        "line_dedup": q_line_dedup,
     }
     # BENCH_QUERIES=a,b,c restricts the run (scaling harness runs only the
     # headline suite at two core counts)

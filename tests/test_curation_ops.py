@@ -3,6 +3,8 @@ URL domain stats + blocklist gating."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -230,3 +232,176 @@ class TestUrls:
             ).collect()
         }
         assert flags == {0: False, 1: False, 2: False, 3: True, 4: False}
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+class TestUnigramLM:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "alpha alpha alpha beta"),
+                (1, "alpha beta gamma"),
+                (2, "zeta"),                  # OOV once vocab is cut
+                (3, ""),                      # token-less
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_vocab_probabilities(self, spark, corpus):
+        from great_expectations_spark.operators.lm import unigram_vocab
+
+        v = {r["token"]: r for r in unigram_vocab(corpus).collect()}
+        # totals: alpha 4, beta 2, gamma 1, zeta 1 → 8 tokens
+        assert v["alpha"]["cnt"] == 4
+        assert v["alpha"]["logp"] == pytest.approx(math.log(4 / 8))
+        assert v["zeta"]["logp"] == pytest.approx(math.log(1 / 8))
+
+    def test_topk_cut_keeps_total_and_tiebreak(self, spark, corpus):
+        from great_expectations_spark.operators.lm import unigram_vocab
+
+        v = unigram_vocab(corpus, top_k=3).collect()
+        toks = [r["token"] for r in v]
+        # gamma/zeta tie at cnt=1 → token ASC keeps gamma, cuts zeta
+        assert toks == ["alpha", "beta", "gamma"]
+        # logp denominator stays the FULL corpus total (8), not the cut's
+        assert dict((r["token"], r["logp"]) for r in v)["gamma"] == \
+            pytest.approx(math.log(1 / 8))
+
+    def test_scores_and_oov_penalty(self, spark, corpus):
+        from great_expectations_spark.operators.lm import (
+            score_documents,
+            unigram_vocab,
+        )
+
+        vocab = unigram_vocab(corpus, top_k=3)          # zeta is OOV
+        s = {r["doc_id"]: r for r in score_documents(corpus, vocab).collect()}
+        oov = math.log(1 / 8) - math.log(2)             # rarest − ln2
+        assert s[0]["mean_logp"] == pytest.approx(
+            (3 * math.log(4 / 8) + math.log(2 / 8)) / 4
+        )
+        assert s[2]["mean_logp"] == pytest.approx(oov)
+        assert s[2]["n_scored"] == 1
+        assert 3 not in s and 4 not in s                # token-less: no row
+
+    def test_with_scores_keeps_all_docs(self, spark, corpus):
+        from great_expectations_spark.operators.lm import (
+            unigram_vocab,
+            with_unigram_scores,
+        )
+
+        out = {
+            r["doc_id"]: r["mean_logp"]
+            for r in with_unigram_scores(corpus, unigram_vocab(corpus)).collect()
+        }
+        assert len(out) == 5
+        assert out[3] is None and out[4] is None
+
+    def test_empty_vocab_rejected(self, spark):
+        from great_expectations_spark.operators.lm import (
+            score_documents,
+            unigram_vocab,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="vocab is empty"):
+            score_documents(empty, unigram_vocab(empty))
+
+
+# ---------------------------------------------------------------------------
+# randomized equality / invariants (seeded, one Spark job each)
+# ---------------------------------------------------------------------------
+
+def _py_luhn(s: str) -> bool:
+    digits = [int(c) for c in s if c.isdigit()]
+    if not 13 <= len(digits) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_hof_matches_python_reference(spark):
+    """The HOF Luhn chain equals a straightforward Python implementation
+    on 300 seeded random candidates (valid cards, corrupted checksums,
+    wrong lengths, separator mixes)."""
+    import random
+
+    rng = random.Random(42)
+    cands = []
+    for _ in range(300):
+        n = rng.randint(11, 21)
+        digits = [rng.randint(0, 9) for _ in range(n)]
+        if rng.random() < 0.4:  # force a Luhn-valid suffix digit
+            total = 0
+            for i, d in enumerate(reversed(digits[:-1]), start=2):
+                if i % 2 == 0:
+                    d *= 2
+                    if d > 9:
+                        d -= 9
+                total += d
+            digits[-1] = (10 - total % 10) % 10
+        sep = rng.choice(["", " ", "-"])
+        cands.append(sep.join(str(d) for d in digits) if sep else
+                     "".join(str(d) for d in digits))
+
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = {
+        r["cand"]: bool(r["ok"])
+        for r in df.select(
+            "cand", P.luhn_valid(F.col("cand")).alias("ok")
+        ).collect()
+    }
+    for c in cands:
+        assert got[c] == _py_luhn(c), c
+
+
+def test_line_dedup_idempotent_and_partition_invariant(spark):
+    """strip(strip(X)) == strip(X) (all cross-doc duplicates gone after
+    one pass) and kept+dropped line multisets reconstruct the originals,
+    on a seeded corpus mixing shared boilerplate and random lines."""
+    import random
+
+    rng = random.Random(7)
+    words = ["spark", "scan", "agg", "join", "row", "key", "batch"]
+    boiler = ["shared footer line", "copyright notice 2026"]
+    rows = []
+    for i in range(40):
+        lines = [" ".join(rng.choices(words, k=4)) for _ in range(rng.randint(1, 5))]
+        for b in boiler:
+            if rng.random() < 0.5:
+                lines.insert(rng.randrange(len(lines) + 1), b)
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    once = strip_duplicate_lines(docs, min_docs=3)
+    twice = strip_duplicate_lines(once, min_docs=3)
+    a = sorted((r["doc_id"], r["text"]) for r in once.collect())
+    b = sorted((r["doc_id"], r["text"]) for r in twice.collect())
+    assert a == b
+
+    # reconstruction: every original line is either kept (in order) or in
+    # the corpus-wide duplicate set
+    from great_expectations_spark.operators.lines import duplicate_line_hashes
+    dup_keys = {
+        r["line_hash"]
+        for r in duplicate_line_hashes(docs, min_docs=3).collect()
+    }
+    kept = dict(a)
+    for i, text in rows:
+        orig = text.split("\n")
+        kept_lines = kept[i].split("\n") if kept[i] else []
+        j = 0
+        for line in orig:
+            if j < len(kept_lines) and line == kept_lines[j]:
+                j += 1
+        assert j == len(kept_lines)  # kept is a subsequence of original
