@@ -265,3 +265,64 @@ def test_repetition_profile_single_explode(spark):
     plan_rl = _plan(repetition_profile(df, "text", "doc_id",
                                        top_ns=(2,), dup_ns=(3,)))
     assert "Exchange" not in plan_rl and "Generate" not in plan_rl, plan_rl
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation operators — scale-shape contracts
+# ---------------------------------------------------------------------------
+
+def test_pii_scan_is_map_only(spark, tmp_path):
+    """PII scan + redaction compose into a zero-Exchange plan: pure
+    per-row regexp/HOF expressions that ride the scan's codegen stage."""
+    from great_expectations_spark.operators.pii import redact_pii, scan_pii
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc {i} mail user{i}@example.com") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = scan_pii(spark.read.parquet(p)).withColumn(
+        "red", redact_pii(F.col("text"))
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_line_dedup_distinct_agg_is_skew_safe(spark):
+    """groupBy(line_hash).count_distinct(id) must plan as the TWO-PHASE
+    distinct: the first Exchange keys on (line_hash, __id) — a line
+    duplicated in 10^9 docs spreads across reducers instead of landing
+    on one — and only pre-deduplicated partial counts shuffle on the
+    bare hash."""
+    from great_expectations_spark.operators.lines import duplicate_line_hashes
+
+    docs = spark.createDataFrame(
+        [(i, "hot line\nunique %d" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(duplicate_line_hashes(docs))
+    assert "hashpartitioning(line_hash" in plan
+    first_exchange = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ][-1]  # deepest exchange appears last in the tree dump
+    assert "__id" in first_exchange, plan
+    assert "partial_count(distinct" in plan, plan
+
+
+def test_lm_score_broadcasts_vocab(spark):
+    """score_documents joins the driver-bounded top-K vocab as a
+    broadcast — never a sort-merge join against the corpus tokens."""
+    from great_expectations_spark.operators.lm import (
+        score_documents,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    s = score_documents(docs, unigram_vocab(docs, top_k=5), oov_logp=-9.0)
+    plan = _plan(s)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

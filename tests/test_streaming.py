@@ -98,3 +98,38 @@ def test_stream_validates_microbatches_and_is_idempotent(spark, suite, tmp_path)
         .count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_pii_scan_composes_with_streams(spark, tmp_path):
+    """scan_pii / redact_pii are stateless per-row expressions, so they
+    apply unchanged to a streaming DataFrame — the firehose-scrubbing
+    shape (round 4)."""
+    from great_expectations_spark.operators.pii import redact_pii, scan_pii
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(0, "mail a@b.co"), (1, "clean"), (2, "ip 10.0.0.7")], schema
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    scrubbed = scan_pii(stream).withColumn("text", redact_pii(F.col("text")))
+    q = (
+        scrubbed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[0]["pii_email_count"] == 1 and got[0]["text"] == "mail [EMAIL]"
+    assert got[1]["pii_total_count"] == 0
+    assert got[2]["text"] == "ip [IPV4]"
