@@ -1139,8 +1139,27 @@ def q_text_gate_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("lang_en").alias("check"),
             F.col("en_docs").alias("value"),
         ),
+        # corpus distinct-2-gram diversity counts (round 4 second pass;
+        # operators/textstats.py::corpus_ngram_diversity) — the oracle
+        # counts distinct gram STRINGS, Spark distinct xxhash64 values:
+        # equal absent 64-bit collisions (~10^-11 odds at this corpus)
+        _diversity_rows(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def _diversity_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from great_expectations_spark.operators.textstats import (
+        corpus_ngram_diversity,
+    )
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = corpus_ngram_diversity(docs, ns=(2,)).collect()[0]
+    return spark.createDataFrame(
+        [("grams2_total", int(d["total_grams"])),
+         ("grams2_distinct", int(d["distinct_grams"]))],
+        "check string, value long",
+    )
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,10 +1316,31 @@ def oracle_sql() -> dict[str, str]:
         f"UNION ALL SELECT 'quality_pass', passing_docs "
         f"FROM ({o.pop('quality_filter')}) "
         f"UNION ALL SELECT 'lang_en', en_docs "
-        f"FROM ({o.pop('lang_en_stopword_gate')})"
+        f"FROM ({o.pop('lang_en_stopword_gate')}) "
+        f"UNION ALL {_diversity_oracle()}"
     )
     o.update(_curation_oracles())
     return o
+
+
+def _diversity_oracle() -> str:
+    """Corpus 2-gram total/distinct (pairs with _diversity_rows): DuckDB
+    range() is end-exclusive, so bigram positions are range(1, len)."""
+    grams = (
+        "WITH base AS (SELECT list_filter(string_split_regex(lower(trim("
+        "text)), '\\s+'), x -> len(x) > 0) AS toks "
+        "FROM documents WHERE text IS NOT NULL), "
+        "g AS (SELECT array_to_string(list_slice(toks, i, i + 1), ' ') "
+        "AS gram FROM base, unnest(range(1, greatest(len(toks), 1))) "
+        "AS t(i)) "
+    )
+    return (
+        f"SELECT 'grams2_total' AS check, CAST(count(*) AS BIGINT) AS value "
+        f"FROM ({grams} SELECT gram FROM g) "
+        f"UNION ALL SELECT 'grams2_distinct', "
+        f"CAST(count(DISTINCT gram) AS BIGINT) "
+        f"FROM ({grams} SELECT gram FROM g)"
+    )
 
 
 def _curation_oracles() -> dict[str, str]:

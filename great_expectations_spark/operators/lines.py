@@ -51,15 +51,18 @@ def line_rows(
     normalize: bool = True,
     min_chars: int = 1,
     hash_fn: str = "xxhash64",
+    sep: str = "\n",
 ) -> DataFrame:
     """Slim per-line rows ``(__id, line_idx, line_hash)``.
 
     Lines whose trimmed length is < ``min_chars`` get a NULL hash — they
     are never dedup candidates (blank separator lines would otherwise be
-    "boilerplate" and vanish from every document).
+    "boilerplate" and vanish from every document). ``sep`` is a REGEX
+    (Spark split): the default deduplicates lines; ``sep="\\n\\n+"``
+    switches to paragraph granularity.
     """
     _check_hash_fn(hash_fn)
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), sep)
     exploded = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(lines).alias("line_idx", "__line"),
@@ -79,11 +82,12 @@ def duplicate_line_hashes(
     normalize: bool = True,
     min_chars: int = 1,
     hash_fn: str = "xxhash64",
+    sep: str = "\n",
 ) -> DataFrame:
     """Hashes of lines occurring in ≥ ``min_docs`` DISTINCT documents:
     ``(line_hash, n_docs)``. Within-document repetition alone never
     qualifies a line (that is ``repetition_profile``'s job)."""
-    rows = line_rows(df, text_col, id_col, normalize, min_chars, hash_fn)
+    rows = line_rows(df, text_col, id_col, normalize, min_chars, hash_fn, sep)
     return (
         rows.filter(F.col("line_hash").isNotNull())
         .groupBy("line_hash")
@@ -101,15 +105,22 @@ def strip_duplicate_lines(
     min_chars: int = 1,
     hash_fn: str = "xxhash64",
     out_col: str | None = None,
+    sep: str = "\n",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Remove every line that occurs in ≥ ``min_docs`` distinct documents;
-    the surviving lines are rejoined with ``\\n`` in original order into
-    ``out_col`` (default: replace ``text_col``). Documents that lose all
-    their lines keep an empty string; NULL text stays NULL."""
+    the surviving lines are rejoined with ``join_sep`` (default: ``sep``
+    when it is a plain string, ``"\\n"`` otherwise — a regex separator
+    cannot be inverted) in original order into ``out_col`` (default:
+    replace ``text_col``). Documents that lose all their lines keep an
+    empty string; NULL text stays NULL. ``sep="\\n\\n+"`` with
+    ``join_sep="\\n\\n"`` gives paragraph-granularity dedup."""
     out_col = out_col or text_col
-    rows = line_rows(df, text_col, id_col, normalize, min_chars, hash_fn)
+    if join_sep is None:
+        join_sep = sep if not any(ch in sep for ch in "+*?[](){}|.^$") else "\n"
+    rows = line_rows(df, text_col, id_col, normalize, min_chars, hash_fn, sep)
     dups = duplicate_line_hashes(
-        df, text_col, id_col, min_docs, normalize, min_chars, hash_fn
+        df, text_col, id_col, min_docs, normalize, min_chars, hash_fn, sep
     )
     dropped = (
         rows.join(dups, "line_hash")
@@ -120,12 +131,12 @@ def strip_duplicate_lines(
         dropped, df[id_col] == dropped["__id"], "left"
     ).drop("__id")
     kept = F.filter(
-        F.split(F.col(text_col), "\n"),
+        F.split(F.col(text_col), sep),
         lambda line, i: ~F.coalesce(
             F.array_contains(F.col("__dropped_idx"), i), F.lit(False)
         ),
     )
     rebuilt = F.when(
-        F.col(text_col).isNotNull(), F.array_join(kept, "\n")
+        F.col(text_col).isNotNull(), F.array_join(kept, join_sep)
     )
     return joined.withColumn(out_col, rebuilt).drop("__dropped_idx")

@@ -607,3 +607,63 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def corpus_ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-level distinct-n diversity: ``(n, total_grams,
+    distinct_grams, diversity)`` with ``diversity = distinct / total`` —
+    the distinct-N metric used to QA synthetic / model-generated corpora
+    (mode collapse shows up as diversity cratering at n ≥ 2 long before
+    humans notice).
+
+    Scale shape: the tokenizer materializes ONCE per row in its own
+    projection (the HOF captured-subtree trap, SURVEY §8.2), all n stack
+    through one Generate, and only ``(n, gram_hash)`` rows shuffle.
+    ``count_distinct`` plans as the two-phase distinct (first exchange
+    keyed ``(n, hash)``), so the tiny n-key space does not skew.
+    ``hash_fn="md5"`` gives the SQL-replayable hash; distinct counts are
+    hash-collision-exact up to the documented 64-bit birthday bound.
+    """
+    from great_expectations_spark.operators.dedup import (
+        _check_hash_fn,
+        _md5num,
+    )
+
+    _check_hash_fn(hash_fn)
+
+    def _h(g: Column) -> Column:
+        return F.xxhash64(g) if hash_fn == "xxhash64" else _md5num(g)
+
+    toked = df.select(tokens(F.col(text_col)).alias("__toks"))
+
+    def _stack(n: int) -> Column:
+        # single-arg lambda factory: a 2-arg lambda (g, n) would be bound
+        # by PySpark's HOF signature inspection as (element, index)
+        return F.transform(
+            _grams_arr(F.col("__toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), _h(g).alias("gh")),
+        )
+
+    stacks = [_stack(n) for n in ns]
+    rows = toked.select(
+        F.explode(F.flatten(F.array(*stacks))).alias("__g")
+    ).select(F.col("__g.n").alias("n"), F.col("__g.gh").alias("gh"))
+    return (
+        rows.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count_distinct("gh").alias("distinct_grams"),
+        )
+        .withColumn(
+            "diversity",
+            F.when(
+                F.col("total_grams") > 0,
+                F.col("distinct_grams") / F.col("total_grams"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -405,3 +405,57 @@ def test_line_dedup_idempotent_and_partition_invariant(spark):
             if j < len(kept_lines) and line == kept_lines[j]:
                 j += 1
         assert j == len(kept_lines)  # kept is a subsequence of original
+
+
+def test_corpus_ngram_diversity(spark):
+    from great_expectations_spark.operators.textstats import (
+        corpus_ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["n"]: r for r in corpus_ngram_diversity(docs, ns=(1, 2)).collect()}
+    # unigrams: a b a b | a b c → 7 total, 3 distinct
+    assert got[1]["total_grams"] == 7 and got[1]["distinct_grams"] == 3
+    # bigrams: (a b)(b a)(a b) | (a b)(b c) → 5 total, 3 distinct
+    assert got[2]["total_grams"] == 5 and got[2]["distinct_grams"] == 3
+    assert got[2]["diversity"] == pytest.approx(3 / 5)
+
+
+def test_corpus_ngram_diversity_md5_matches(spark):
+    from great_expectations_spark.operators.textstats import (
+        corpus_ngram_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} shared tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, corpus_ngram_diversity(docs).collect()))
+    b = sorted(map(tuple, corpus_ngram_diversity(docs, hash_fn="md5").collect()))
+    assert a == b
+
+
+def test_paragraph_granularity_line_dedup(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "unique zero first\n\nshared footer para\nsecond line"),
+            (1, "unique one\n\nshared footer para\nsecond line"),
+            (2, "unique two\n\nshared footer para\nsecond line"),
+        ],
+        "doc_id long, text string",
+    )
+    # line granularity would NOT drop the footer's two lines as one unit;
+    # paragraph granularity treats "shared footer para\nsecond line" as
+    # one dedup unit and strips it whole
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_lines(
+            docs, min_docs=3, sep="\n\n", join_sep="\n\n"
+        ).collect()
+    }
+    assert out[0] == "unique zero first"
+    assert out[1] == "unique one"
+    assert out[2] == "unique two"
