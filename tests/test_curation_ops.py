@@ -459,3 +459,30 @@ def test_paragraph_granularity_line_dedup(spark):
     assert out[0] == "unique zero first"
     assert out[1] == "unique one"
     assert out[2] == "unique two"
+
+
+def test_pii_gate_violations_sink_roundtrip(spark, tmp_path):
+    """The PII gate's failing rows land in the violations sink with the
+    comma-joined classes as the observed value — the auditing trail a
+    scrubbing pipeline needs."""
+    vp = str(tmp_path / "viol")
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at a@b.co from 10.1.2.3"),
+            (1, "all clean"),
+            (2, "ssn 123-45-6789"),
+        ],
+        "doc_id long, text string",
+    )
+    suite = ExpectationSuite("pii-sink")
+    suite.add("expect_column_values_to_contain_no_pii", column="text")
+    SuiteRunner(
+        spark, violations_path=vp,
+        unexpected_index_column_names=["doc_id"],
+    ).validate(docs, suite)
+    v = spark.read.parquet(vp)
+    rows = {r["doc_id"]: r for r in v.collect()}
+    assert set(rows) == {0, 2}
+    obs = {i: rows[i]["observed_value"] for i in rows}
+    assert set(obs[0].split(",")) == {"email", "ipv4"}
+    assert obs[2] == "ssn"
