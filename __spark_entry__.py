@@ -1440,8 +1440,9 @@ def _curation_oracles() -> dict[str, str]:
         "FROM documents), "
         f"u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
         f"'{q(URL_PATTERN)}')) AS url FROM d), "
-        f"doms AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, "
-        f"'{q(HOST_PATTERN)}', 1)), '^www\\.', '') AS domain FROM u) "
+        f"doms AS (SELECT doc_id, regexp_replace(regexp_replace(lower("
+        f"regexp_extract(url, '{q(HOST_PATTERN)}', 1)), '\\.+$', ''), "
+        f"'^www\\.', '') AS domain FROM u) "
         "SELECT domain, CAST(count(*) AS BIGINT) AS n_urls, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doms "
         "WHERE domain <> '' GROUP BY domain"
@@ -1481,8 +1482,9 @@ def _curation_oracles() -> dict[str, str]:
         "FROM documents), "
         f"u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
         f"'{q(URL_PATTERN)}')) AS url FROM d), "
-        f"doms AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, "
-        f"'{q(HOST_PATTERN)}', 1)), '^www\\.', '') AS domain FROM u), "
+        f"doms AS (SELECT doc_id, regexp_replace(regexp_replace(lower("
+        f"regexp_extract(url, '{q(HOST_PATTERN)}', 1)), '\\.+$', ''), "
+        f"'^www\\.', '') AS domain FROM u), "
         # blocklist entries normalized the same way the operator does
         "bl AS (SELECT regexp_replace(lower(domain), '^www\\.', '') AS b "
         "FROM (VALUES ('www.Blocked.example.net'), ('evil.org')) v(domain)), "

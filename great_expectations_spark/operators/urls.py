@@ -39,10 +39,12 @@ def extract_urls(text_col: str | Column) -> Column:
 
 
 def url_domain(url_col: str | Column) -> Column:
-    """Normalized host of one URL: lower-cased, ``www.`` prefix and any
-    userinfo/port stripped. Empty string when the URL has no host."""
+    """Normalized host of one URL: lower-cased, ``www.`` prefix, any
+    userinfo/port, and trailing dots stripped (prose punctuation —
+    ``see https://x.com.`` — would otherwise mint a distinct domain).
+    Empty string when the URL has no host."""
     host = F.lower(F.regexp_extract(_c(url_col), HOST_PATTERN, 1))
-    return F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(F.regexp_replace(host, r"\.+$", ""), r"^www\.", "")
 
 
 def extract_domains(text_col: str | Column, distinct: bool = True) -> Column:
@@ -91,8 +93,10 @@ def flag_blocklisted_domains(
     to both sides). ``broadcast=None`` → AQE decides; True forces the
     hint (only for known-small blocklists); False forbids it."""
     bl = blocklist.select(
-        F.lower(F.regexp_replace(F.col(blocklist_col), r"^www\.", ""))
-        .alias("__bl_domain")
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(blocklist_col)), r"\.+$", ""),
+            r"^www\.", "",
+        ).alias("__bl_domain")
     ).distinct()
     if broadcast is True:
         bl = F.broadcast(bl)

@@ -486,3 +486,13 @@ def test_pii_gate_violations_sink_roundtrip(spark, tmp_path):
     obs = {i: rows[i]["observed_value"] for i in rows}
     assert set(obs[0].split(",")) == {"email", "ipv4"}
     assert obs[2] == "ssn"
+
+
+def test_url_trailing_dot_normalized(spark):
+    from great_expectations_spark.operators.urls import url_domain
+
+    df = spark.createDataFrame(
+        [("https://Example.com.",), ("http://www.x.org./p",)], "u string"
+    )
+    got = [r[0] for r in df.select(url_domain("u")).collect()]
+    assert got == ["example.com", "x.org"]
