@@ -1088,16 +1088,11 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg1.crossJoin(agg2)
 
 
-def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL extraction + host normalization + corpus domain table
-    (operators/urls.py::domain_counts) over documents with planted URLs
-    (mixed-case hosts, userinfo/port forms, www. prefixes — the
-    normalization is what the value hash proves): per-domain URL
-    occurrences and distinct citing docs."""
-    from great_expectations_spark.operators.urls import domain_counts
-
-    docs = _load(spark, sf_dir, "documents")
-    planted = docs.select(
+def _planted_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL planting shared by q_url_domain_stats and
+    q_url_blocklist_gate — _PLANT_URLS_SQL is the byte-for-byte oracle
+    twin; edit BOTH or neither."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
@@ -1113,6 +1108,18 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ).otherwise(F.lit("")),
         ).alias("text"),
     )
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + host normalization + corpus domain table
+    (operators/urls.py::domain_counts) over documents with planted URLs
+    (mixed-case hosts, userinfo/port forms, www. prefixes — the
+    normalization is what the value hash proves): per-domain URL
+    occurrences and distinct citing docs."""
+    from great_expectations_spark.operators.urls import domain_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = _planted_urls(docs)
     return domain_counts(planted)
 
 
@@ -1194,22 +1201,7 @@ def q_url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from great_expectations_spark.operators.urls import flag_blocklisted_domains
 
     docs = _load(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.concat(F.lit(" see https://site"),
-                         (F.col("doc_id") % 20).cast("string"),
-                         F.lit(".Example.com/p?x="),
-                         F.col("doc_id").cast("string")),
-            ).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 11 == 0,
-                   F.lit(" ref http://u:p@www.Blocked.example.NET:8080/x")
-                   ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
+    planted = _planted_urls(docs)
     bl = spark.createDataFrame(
         [("www.Blocked.example.net",), ("evil.org",)], "domain string"
     )
@@ -1343,6 +1335,16 @@ def _diversity_oracle() -> str:
     )
 
 
+def _host_norm_sql(expr: str) -> str:
+    """DuckDB twin of operators/urls._normalize_host: lower → strip
+    trailing prose punctuation (HOST_TRAILING_PUNCT) → strip www. —
+    order and regexes byte-identical to the Spark side."""
+    return (
+        f"regexp_replace(regexp_replace(lower({expr}), "
+        "'[.,;:!?]+$', ''), '^www\\.', '')"
+    )
+
+
 def _curation_oracles() -> dict[str, str]:
     """Round-4 curation-family oracles (pii_scan / line_dedup /
     url_domain_stats) — every regex is RE2-safe and byte-identical to the
@@ -1430,7 +1432,10 @@ def _curation_oracles() -> dict[str, str]:
         "(SELECT CAST(count(*) AS BIGINT) FROM dups) AS dup_lines FROM kept"
     )
 
-    url_stats = (
+    host_expr = f"regexp_extract(url, '{q(HOST_PATTERN)}', 1)"
+    # the byte-for-byte oracle twin of __spark_entry__._planted_urls —
+    # edit BOTH or neither (shared by url_stats and blocklist_gate)
+    plant = (
         "WITH d AS (SELECT doc_id, coalesce(text, '') "
         "|| CASE WHEN doc_id % 2 = 0 THEN ' see https://site' "
         "|| CAST(doc_id % 20 AS VARCHAR) || '.Example.com/p?x=' "
@@ -1440,9 +1445,11 @@ def _curation_oracles() -> dict[str, str]:
         "FROM documents), "
         f"u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
         f"'{q(URL_PATTERN)}')) AS url FROM d), "
-        f"doms AS (SELECT doc_id, regexp_replace(regexp_replace(lower("
-        f"regexp_extract(url, '{q(HOST_PATTERN)}', 1)), '\\.+$', ''), "
-        f"'^www\\.', '') AS domain FROM u) "
+        f"doms AS (SELECT doc_id, "
+        f"{_host_norm_sql(host_expr)} AS domain FROM u)"
+    )
+    url_stats = (
+        f"{plant} "
         "SELECT domain, CAST(count(*) AS BIGINT) AS n_urls, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM doms "
         "WHERE domain <> '' GROUP BY domain"
@@ -1473,20 +1480,9 @@ def _curation_oracles() -> dict[str, str]:
     )
 
     blocklist_gate = (
-        "WITH d AS (SELECT doc_id, coalesce(text, '') "
-        "|| CASE WHEN doc_id % 2 = 0 THEN ' see https://site' "
-        "|| CAST(doc_id % 20 AS VARCHAR) || '.Example.com/p?x=' "
-        "|| CAST(doc_id AS VARCHAR) ELSE '' END "
-        "|| CASE WHEN doc_id % 11 = 0 THEN "
-        "' ref http://u:p@www.Blocked.example.NET:8080/x' ELSE '' END AS t "
-        "FROM documents), "
-        f"u AS (SELECT doc_id, unnest(regexp_extract_all(t, "
-        f"'{q(URL_PATTERN)}')) AS url FROM d), "
-        f"doms AS (SELECT doc_id, regexp_replace(regexp_replace(lower("
-        f"regexp_extract(url, '{q(HOST_PATTERN)}', 1)), '\\.+$', ''), "
-        f"'^www\\.', '') AS domain FROM u), "
-        # blocklist entries normalized the same way the operator does
-        "bl AS (SELECT regexp_replace(lower(domain), '^www\\.', '') AS b "
+        f"{plant}, "
+        # blocklist entries ride the IDENTICAL _normalize_host chain
+        f"bl AS (SELECT {_host_norm_sql('domain')} AS b "
         "FROM (VALUES ('www.Blocked.example.net'), ('evil.org')) v(domain)), "
         "hits AS (SELECT DISTINCT doc_id FROM doms WHERE domain IN "
         "(SELECT b FROM bl)) "

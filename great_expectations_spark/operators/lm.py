@@ -80,21 +80,27 @@ def score_documents(
     construction (caller-chosen K), which is the one case where a forced
     hint is safe at 100 TB.
     """
+    vocab_rel = vocab.select("token", "logp")
     if oov_logp is None:
-        # ONE scalar collect over the ≤top_k-row vocab relation (driver-
-        # bounded); "half as likely as the rarest in-vocabulary token".
-        row = vocab.agg(F.min("logp").alias("m")).collect()[0]
-        if row["m"] is None:
+        # Materialize the ≤top_k-row vocab ONCE: deriving the OOV floor
+        # with vocab.agg(min).collect() on the lazy relation would re-run
+        # the full corpus token-count pass a second time inside the
+        # scoring job's broadcast — the collected rows (driver-bounded by
+        # top_k) both yield min(logp) locally and rebuild the broadcast
+        # side, so the corpus is tokenized exactly once per pass.
+        rows = vocab_rel.collect()
+        if not rows:
             raise ValueError("vocab is empty; pass oov_logp explicitly")
-        oov_logp = float(row["m"]) - math.log(2.0)
+        oov_logp = min(r["logp"] for r in rows) - math.log(2.0)
+        vocab_rel = df.sparkSession.createDataFrame(
+            rows, "token string, logp double"
+        )
 
     slim = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    joined = slim.join(
-        F.broadcast(vocab.select("token", "logp")), "token", "left"
-    )
+    joined = slim.join(F.broadcast(vocab_rel), "token", "left")
     return (
         joined.groupBy("__id")
         .agg(

@@ -56,6 +56,12 @@ PII_PATTERNS: dict[str, str] = {
 #: card number is never half-eaten by the phone pattern.
 REDACT_ORDER = ["email", "credit_card", "ssn", "ipv4", "phone"]
 
+# a PII class that is countable but silently un-redactable would fail in
+# the one direction this module promises not to — keep the two in lockstep
+assert set(REDACT_ORDER) == set(PII_PATTERNS), (
+    "REDACT_ORDER must cover every PII_PATTERNS class"
+)
+
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col

@@ -660,10 +660,8 @@ def corpus_ngram_diversity(
             F.count_distinct("gh").alias("distinct_grams"),
         )
         .withColumn(
+            # groupBy only emits groups with ≥1 row, so no zero guard
             "diversity",
-            F.when(
-                F.col("total_grams") > 0,
-                F.col("distinct_grams") / F.col("total_grams"),
-            ).otherwise(F.lit(0.0)),
+            F.col("distinct_grams") / F.col("total_grams"),
         )
     )

@@ -38,13 +38,25 @@ def extract_urls(text_col: str | Column) -> Column:
     return F.regexp_extract_all(_c(text_col), F.lit(URL_PATTERN), 0)
 
 
+#: trailing prose punctuation that can never end a hostname — stripped
+#: from the HOST (not the URL: ``,`` etc. are legal in paths) so
+#: ``see https://evil.org, here`` neither mints a phantom domain nor
+#: slips past the blocklist gate. Shared verbatim with the DuckDB oracle.
+HOST_TRAILING_PUNCT = r"[.,;:!?]+$"
+
+
+def _normalize_host(host: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(host), HOST_TRAILING_PUNCT, ""),
+        r"^www\.", "",
+    )
+
+
 def url_domain(url_col: str | Column) -> Column:
-    """Normalized host of one URL: lower-cased, ``www.`` prefix, any
-    userinfo/port, and trailing dots stripped (prose punctuation —
-    ``see https://x.com.`` — would otherwise mint a distinct domain).
-    Empty string when the URL has no host."""
-    host = F.lower(F.regexp_extract(_c(url_col), HOST_PATTERN, 1))
-    return F.regexp_replace(F.regexp_replace(host, r"\.+$", ""), r"^www\.", "")
+    """Normalized host of one URL: lower-cased; ``www.`` prefix, any
+    userinfo/port, and trailing prose punctuation (dots, commas, ...)
+    stripped. Empty string when the URL has no host."""
+    return _normalize_host(F.regexp_extract(_c(url_col), HOST_PATTERN, 1))
 
 
 def extract_domains(text_col: str | Column, distinct: bool = True) -> Column:
@@ -93,10 +105,7 @@ def flag_blocklisted_domains(
     to both sides). ``broadcast=None`` → AQE decides; True forces the
     hint (only for known-small blocklists); False forbids it."""
     bl = blocklist.select(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(blocklist_col)), r"\.+$", ""),
-            r"^www\.", "",
-        ).alias("__bl_domain")
+        _normalize_host(F.col(blocklist_col)).alias("__bl_domain")
     ).distinct()
     if broadcast is True:
         bl = F.broadcast(bl)

@@ -496,3 +496,21 @@ def test_url_trailing_dot_normalized(spark):
     )
     got = [r[0] for r in df.select(url_domain("u")).collect()]
     assert got == ["example.com", "x.org"]
+
+
+def test_url_trailing_punct_cannot_evade_blocklist(spark):
+    """Review finding (round 4): 'visit https://evil.org, for more' must
+    not mint the phantom domain 'evil.org,' nor slip past the gate."""
+    docs = spark.createDataFrame(
+        [(0, "visit https://evil.org, for more"),
+         (1, "also https://evil.org! and https://ok.example.io; done")],
+        "doc_id long, text string",
+    )
+    got = {r["domain"] for r in domain_counts(docs).collect()}
+    assert got == {"evil.org", "ok.example.io"}
+    bl = spark.createDataFrame([("evil.org",)], "domain string")
+    flags = {
+        r["doc_id"]: r["blocklisted"]
+        for r in flag_blocklisted_domains(docs, bl).collect()
+    }
+    assert flags == {0: True, 1: True}
