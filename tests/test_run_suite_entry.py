@@ -103,3 +103,22 @@ def test_whole_table_run_renders_single_page(
     index = open(out["docs_index"]).read()
     assert "expect_column_values_to_be_between" in index
     assert os.path.exists(os.path.join(site, "suite.html"))
+
+
+def test_curation_gates_suite_on_documents(spark, tmp_path, capsys):
+    """The shipped suites/curation_gates.json (PII / token-count /
+    repetition gates) runs whole-table on the real documents parquet
+    through the spark-submit entry."""
+    rc = run_suite.main([
+        "--table", "/root/testdata/sf0.001/documents.parquet",
+        "--suite", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "suites", "curation_gates.json"),
+        "--manifest", str(tmp_path / "m_cur"),
+        "--index-cols", "doc_id",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["statistics"]["evaluated_expectations"] == 4
+    # clean synthetic corpus passes every gate
+    assert out["statistics"]["success_percent"] == 100.0
