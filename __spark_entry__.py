@@ -519,6 +519,49 @@ def q_split_year_month_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_splitter_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both splitter driver rows in ONE long-format result (formerly the
+    separate split_mod_batch / split_year_month_counts rows, green since
+    r01; merged to fund segment_validation under the 50-row cap — the
+    oracle is the labeled UNION ALL of the originals, mod-batch rows
+    carrying (-1, -1) date placeholders)."""
+    mod = q_split_mod_batch(spark, sf_dir).select(
+        F.lit("mod3of8").alias("split"),
+        F.lit(-1).cast("long").alias("yr"),
+        F.lit(-1).cast("long").alias("mth"),
+        F.col("batch_rows"),
+    )
+    ym = q_split_year_month_counts(spark, sf_dir).select(
+        F.lit("year_month").alias("split"), "yr", "mth", "batch_rows"
+    )
+    return mod.unionByName(ym)
+
+
+def q_segment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented validation (segmented.py::validate_by_group): the whole
+    suite per l_returnflag segment from ONE bundled groupBy — map counts,
+    per-segment aggregate bounds, per-segment compound uniqueness (the
+    planted duplicate keys make it FAIL per segment, proving the success
+    logic both ways). observed_value is dropped (float repr is not
+    SQL-reproducible); every counter and boolean is value-hashed."""
+    from great_expectations_spark import ExpectationSuite, validate_by_group
+
+    li = _load(spark, sf_dir, "lineitem")
+    suite = ExpectationSuite("seg")
+    suite.add("expect_column_values_to_be_between", column="l_discount",
+              min_value=0.0, max_value=0.05, mostly=0.5)
+    suite.add("expect_column_mean_to_be_between", column="l_quantity",
+              min_value=1.0, max_value=50.0)
+    suite.add("expect_table_row_count_to_be_between", min_value=100)
+    suite.add("expect_compound_columns_to_be_unique",
+              column_list=["l_orderkey", "l_linenumber"])
+    out = validate_by_group(li, suite, "l_returnflag")
+    return out.select(
+        F.col("group").alias("seg"), "expectation_type", "success",
+        "element_count", "missing_count", "unexpected_count",
+    )
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample_using_hash — md5-suffix content-stable sample (sources/
     samplers.py; native F.md5, bit-identical to the reference's hashlib)."""
@@ -1260,8 +1303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_categorical": q_kl_categorical,
         "ann_top1_arrow": q_ann_top1_arrow,
         "ann_ivf_top1": q_ann_ivf_top1,
-        "split_mod_batch": q_split_mod_batch,
-        "split_year_month_counts": q_split_year_month_counts,
+        # split_mod_batch + split_year_month_counts merged into ONE
+        # long-format slot (round 4) to fund segment_validation — per-row
+        # rigor unchanged (labeled UNION).
+        "splitter_checks": q_splitter_checks,
+        "segment_validation": q_segment_validation,
         "hash_sample": q_hash_sample,
         "map_json_parseable": q_map_json_parseable,
         "map_dateutil_parseable": q_map_dateutil_parseable,
@@ -1311,8 +1357,51 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({o.pop('lang_en_stopword_gate')}) "
         f"UNION ALL {_diversity_oracle()}"
     )
+    # round 4: the two splitter oracles become ONE labeled UNION (pairs
+    # with q_splitter_checks; -1 date placeholders on the mod-batch row).
+    o["splitter_checks"] = (
+        f"SELECT 'mod3of8' AS split, CAST(-1 AS BIGINT) AS yr, "
+        f"CAST(-1 AS BIGINT) AS mth, batch_rows "
+        f"FROM ({o.pop('split_mod_batch')}) "
+        f"UNION ALL SELECT 'year_month', yr, mth, batch_rows "
+        f"FROM ({o.pop('split_year_month_counts')})"
+    )
+    o["segment_validation"] = _segment_validation_oracle()
     o.update(_curation_oracles())
     return o
+
+
+def _segment_validation_oracle() -> str:
+    """Per-l_returnflag replay of the segmented suite: map counters with
+    mostly=0.5, mean/row-count bounds, per-segment compound uniqueness
+    (element=all rows, missing=null-key rows, unexpected=rows of keys
+    seen >1x within the segment) — calc_map_success semantics inline."""
+    return (
+        "WITH g AS (SELECT l_returnflag AS seg, count(*) AS ec, "
+        "sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS miss_b, "
+        "sum(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount >= 0.0 "
+        "AND l_discount <= 0.05) THEN 1 ELSE 0 END) AS ux_b, "
+        "avg(l_quantity) AS mean_q FROM lineitem GROUP BY 1), "
+        "u AS (SELECT seg, sum(cnt) AS ec2, "
+        "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM "
+        "(SELECT l_returnflag AS seg, l_orderkey, l_linenumber, "
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3) GROUP BY 1) "
+        "SELECT seg, 'expect_column_values_to_be_between' "
+        "AS expectation_type, "
+        "(CAST(ec - miss_b - ux_b AS DOUBLE) / (ec - miss_b)) >= 0.5 "
+        "AS success, CAST(ec AS BIGINT) AS element_count, "
+        "CAST(miss_b AS BIGINT) AS missing_count, "
+        "CAST(ux_b AS BIGINT) AS unexpected_count FROM g "
+        "UNION ALL SELECT seg, 'expect_column_mean_to_be_between', "
+        "mean_q >= 1.0 AND mean_q <= 50.0, CAST(ec AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM g "
+        "UNION ALL SELECT seg, 'expect_table_row_count_to_be_between', "
+        "ec >= 100, CAST(ec AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT) FROM g "
+        "UNION ALL SELECT seg, 'expect_compound_columns_to_be_unique', "
+        "dup = 0, CAST(ec2 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(dup AS BIGINT) FROM u"
+    )
 
 
 def _diversity_oracle() -> str:

@@ -36,6 +36,7 @@ from great_expectations_spark.result import (
 )
 from great_expectations_spark.runner import SuiteRunner, validate
 from great_expectations_spark.profiler import profile_suite
+from great_expectations_spark.segmented import validate_by_group
 from great_expectations_spark.rule_based_profiler import RuleBasedProfiler
 from great_expectations_spark.docs import (
     build_data_docs,
@@ -61,6 +62,7 @@ __all__ = [
     "parse_result_format",
     "SuiteRunner",
     "validate",
+    "validate_by_group",
 ]
 
 __version__ = "0.1.0"
