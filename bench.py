@@ -349,6 +349,25 @@ def q_repetition(spark: SparkSession) -> dict:
     return {"rows": row["docs"], "repetitive": int(row["repetitive"] or 0)}
 
 
+def q_segmented_suite(spark: SparkSession) -> dict:
+    """Per-role segmented validation over the 16M-turn transcripts table
+    (round 4; segmented.py) — the whole map+agg suite in ONE groupBy."""
+    from great_expectations_spark import ExpectationSuite, validate_by_group
+
+    tdf = spark.table(transcripts_table(spark))
+    suite = ExpectationSuite("seg")
+    suite.add("expect_column_values_to_not_be_null", column="text",
+              mostly=0.99)
+    suite.add("expect_column_values_to_be_between", column="turn_idx",
+              min_value=0, max_value=100_000)
+    suite.add("expect_column_mean_to_be_between", column="turn_idx",
+              min_value=0.0, max_value=500.0)
+    suite.add("expect_table_row_count_to_be_between", min_value=1)
+    rows = validate_by_group(tdf, suite, "role").collect()
+    return {"segments": len({r["group"] for r in rows}),
+            "evr_rows": len(rows)}
+
+
 def q_pii_scan(spark: SparkSession) -> dict:
     """Map-only PII scan + Luhn HOF + redaction over documents — tracks
     the per-row regexp/codegen cost (round 4; operators/pii.py)."""
@@ -400,6 +419,7 @@ def main() -> None:
         "text_stats": q_text_stats,
         "decontamination": q_decontamination,
         "repetition": q_repetition,
+        "segmented_suite": q_segmented_suite,
         "pii_scan": q_pii_scan,
         "line_dedup": q_line_dedup,
     }
