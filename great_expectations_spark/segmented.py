@@ -95,16 +95,22 @@ def validate_by_group(
     for i, ca in aggs:
         for alias, e in ca.metric.exprs.items():
             exprs.append(e.alias(f"a{i}_{alias}"))
-    if maps or aggs:
-        grouped = df.groupBy(gcol.alias("__g")).agg(*exprs)
-        cnt = grouped.limit(max_groups + 1).count()
-        if cnt > max_groups:
+    def _capped_collect(rel: DataFrame) -> list:
+        # ONE job: limit caps what ever reaches the driver, the +1 row
+        # turns "too many segments" into an error instead of a silent
+        # truncation of the report
+        rows = rel.limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
             raise ValueError(
                 f"group_by={group_by!r} exceeds max_groups={max_groups}; "
                 "a report over that many segments should stay distributed "
                 "(plain groupBy aggregations), not collect per-segment EVRs"
             )
-        for row in grouped.collect():
+        return rows
+
+    if maps or aggs:
+        grouped = df.groupBy(gcol.alias("__g")).agg(*exprs)
+        for row in _capped_collect(grouped):
             g = row["__g"]
             ec = int(row["__ec"])
             for i, cm in maps:
@@ -148,7 +154,7 @@ def validate_by_group(
                 .otherwise(0)
             ).alias("__ux"),
         )
-        for row in seg.limit(max_groups + 1).collect():
+        for row in _capped_collect(seg):
             ec, missing = int(row["__ec"]), int(row["__missing"] or 0)
             ux = int(row["__ux"] or 0)
             ok = calc_map_success(ec, missing, ux, cu.mostly)

@@ -98,3 +98,15 @@ def test_matches_per_group_suite_runner(spark, seg_df):
             assert s["success"] == r.success
             if "unexpected_count" in r.result:
                 assert s["unexpected_count"] == r.result["unexpected_count"]
+
+
+def test_max_groups_guard_applies_to_unique_pass_too(spark):
+    """Regression: the uniqueness pass must RAISE past max_groups, not
+    silently truncate the report."""
+    df = spark.createDataFrame(
+        [(str(i), i) for i in range(50)], "seg string, k int"
+    )
+    suite = ExpectationSuite("u")
+    suite.add("expect_column_values_to_be_unique", column="k")
+    with pytest.raises(ValueError, match="max_groups"):
+        validate_by_group(df, suite, "seg", max_groups=10)
