@@ -122,3 +122,22 @@ def test_curation_gates_suite_on_documents(spark, tmp_path, capsys):
     assert out["statistics"]["evaluated_expectations"] == 4
     # clean synthetic corpus passes every gate
     assert out["statistics"]["success_percent"] == 100.0
+
+
+def test_segmented_mode(spark, tmp_path, table_path, suite_path, capsys):
+    """--segment-col evaluates the suite once per segment value and
+    writes the long-format EVR rows to --segment-out."""
+    out = str(tmp_path / "seg_evr")
+    rc = run_suite.main([
+        "--table", table_path,
+        "--suite", suite_path,
+        "--manifest", str(tmp_path / "m_seg"),
+        "--segment-col", "day",
+        "--segment-out", out,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["segments"] == 2 and rep["success"] is True
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4          # 2 segments x 2 expectations
+    assert all(r["success"] for r in rows)

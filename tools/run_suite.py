@@ -46,6 +46,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--index-cols", default="conv_id,turn_idx",
                    help="comma-separated unexpected-index columns")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--segment-col", default=None,
+                   help="segmented mode: evaluate the suite once per "
+                        "distinct value of this column (ONE bundled "
+                        "groupBy; segmented.validate_by_group)")
+    p.add_argument("--segment-out", default=None, metavar="DIR",
+                   help="segmented mode: write the per-segment EVR rows "
+                        "to this parquet dir")
+    p.add_argument("--segment-max-groups", type=int, default=100_000)
     p.add_argument("--docs", default=None, metavar="DIR",
                    help="render a static Data Docs site into DIR after the "
                         "run (reads only the EVR store / result object — "
@@ -85,6 +93,30 @@ def main(argv: list[str]) -> int:
 
     index_cols = [c for c in args.index_cols.split(",") if c]
     run_id = args.run_id or f"run-{uuid.uuid4().hex[:12]}"
+
+    if args.segment_col:
+        from great_expectations_spark import validate_by_group
+
+        seg = validate_by_group(
+            df, suite, args.segment_col,
+            max_groups=args.segment_max_groups,
+        )
+        if args.segment_out:
+            seg.write.mode("overwrite").parquet(args.segment_out)
+            seg = spark.read.parquet(args.segment_out)
+        rows = seg.collect()
+        n_seg = len({r["group"] for r in rows})
+        failed = sorted({r["group"] for r in rows if not r["success"]})
+        ok = not failed
+        print(json.dumps({
+            "run_id": run_id,
+            "segments": n_seg,
+            "evr_rows": len(rows),
+            "failing_segments": failed[:100],
+            "success": ok,
+            "segment_out": args.segment_out,
+        }))
+        return 0 if ok else 1
 
     if args.partition_col:
         ckpt = Checkpoint(
