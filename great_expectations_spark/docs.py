@@ -267,3 +267,53 @@ def _safe(s: str) -> str:
     import hashlib
 
     return f"{safe}-{hashlib.sha256(s.encode()).hexdigest()[:8]}"
+
+
+# ---------------------------------------------------------------------------
+# segmented-report page (round 4; pairs with segmented.validate_by_group)
+# ---------------------------------------------------------------------------
+
+def render_segments_html(rows: list, title: str = "segmented report",
+                         max_rows: int = 5_000) -> str:
+    """One HTML page from collected ``validate_by_group`` rows: failing
+    segments first, a summary banner, and a PASS/FAIL cell per
+    (segment, expectation). Caps at ``max_rows`` rendered rows (the page
+    stays O(report), never O(data); ``validate_by_group`` already bounds
+    segment cardinality with its own guard)."""
+    recs = [
+        r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows
+    ]
+    recs.sort(key=lambda r: (bool(r["success"]), str(r["group"]),
+                             r["expectation_type"]))
+    failing = sorted({str(r["group"]) for r in recs if not r["success"]})
+    segs = {str(r["group"]) for r in recs}
+    banner = (
+        f"<p class='muted'>{len(segs)} segments · {len(recs)} checks · "
+        + (f"<b>{len(failing)} failing segment(s):</b> "
+           + ", ".join(html.escape(g) for g in failing[:50])
+           if failing else "all segments pass")
+        + "</p>"
+    )
+    cells = "".join(
+        "<tr><td>{}</td><td><code>{}</code></td><td>{}</td>"
+        "<td>{}</td><td>{}</td><td>{}</td><td>{}</td></tr>".format(
+            html.escape(str(r["group"])),
+            html.escape(r["expectation_type"]),
+            "<b>FAIL</b>" if not r["success"] else "PASS",
+            r["element_count"], r["missing_count"], r["unexpected_count"],
+            html.escape(str(r.get("observed_value"))) if
+            r.get("observed_value") is not None else "",
+        )
+        for r in recs[:max_rows]
+    )
+    more = (
+        f"<p class='muted'>… {len(recs) - max_rows} more rows not "
+        f"rendered</p>" if len(recs) > max_rows else ""
+    )
+    body = (
+        f"<h1>{html.escape(title)}</h1>{banner}"
+        f"<table><tr><th>segment</th><th>expectation</th><th>status</th>"
+        f"<th>rows</th><th>missing</th><th>unexpected</th>"
+        f"<th>observed</th></tr>{cells}</table>{more}"
+    )
+    return _page(title, body)

@@ -134,6 +134,7 @@ def test_segmented_mode(spark, tmp_path, table_path, suite_path, capsys):
         "--manifest", str(tmp_path / "m_seg"),
         "--segment-col", "day",
         "--segment-out", out,
+        "--docs", str(tmp_path / "seg_site"),
     ])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -141,3 +142,5 @@ def test_segmented_mode(spark, tmp_path, table_path, suite_path, capsys):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4          # 2 segments x 2 expectations
     assert all(r["success"] for r in rows)
+    page = open(rep["docs_index"]).read()
+    assert "all segments pass" in page and "2025-01-02" in page

@@ -108,6 +108,18 @@ def main(argv: list[str]) -> int:
         n_seg = len({r["group"] for r in rows})
         failed = sorted({r["group"] for r in rows if not r["success"]})
         ok = not failed
+        docs_index = None
+        if args.docs:
+            import os
+
+            from great_expectations_spark.docs import render_segments_html
+
+            os.makedirs(args.docs, exist_ok=True)
+            docs_index = os.path.join(args.docs, "segments.html")
+            with open(docs_index, "w") as f:
+                f.write(render_segments_html(
+                    rows, title=f"{suite.name} by {args.segment_col}"
+                ))
         print(json.dumps({
             "run_id": run_id,
             "segments": n_seg,
@@ -115,6 +127,7 @@ def main(argv: list[str]) -> int:
             "failing_segments": failed[:100],
             "success": ok,
             "segment_out": args.segment_out,
+            "docs_index": docs_index,
         }))
         return 0 if ok else 1
 
