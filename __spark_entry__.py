@@ -827,8 +827,9 @@ def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = A.median("l_extendedprice", approximate=False)
     upr = A.unique_proportion("l_quantity")
     vbc = A.values_between_count("l_quantity", 10, 20)
+    cor = A.pair_correlation("l_quantity", "l_extendedprice")
     exprs = {}
-    for m in (med, upr, vbc):
+    for m in (med, upr, vbc, cor):
         exprs.update(m.exprs)
     vals = li.agg(*[e.alias(a) for a, e in exprs.items()]).collect()[0].asDict()
     return spark.createDataFrame(
@@ -836,8 +837,10 @@ def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(float(med.finalize(vals)), 6),
             round(float(upr.finalize(vals)), 6),
             int(vbc.finalize(vals)),
+            round(float(cor.finalize(vals)), 6),
         )],
-        "median double, unique_prop double, between_count long",
+        "median double, unique_prop double, between_count long, "
+        "corr_qp double",
     )
 
 
@@ -1908,7 +1911,9 @@ def _oracle_sql_base() -> dict[str, str]:
             "round(CAST(count(DISTINCT l_quantity) AS DOUBLE) / "
             "count(l_quantity), 6) AS unique_prop, "
             "CAST(count(*) FILTER (WHERE l_quantity BETWEEN 10 AND 20) "
-            "AS BIGINT) AS between_count FROM lineitem"
+            "AS BIGINT) AS between_count, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp "
+            "FROM lineitem"
         ),
         "most_common_value": (
             "SELECT event_type AS mode_value FROM events "

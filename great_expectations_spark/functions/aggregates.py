@@ -139,6 +139,18 @@ def distinct_count(column: str, approximate: bool = False, rsd: float = 0.01) ->
     return _single(alias, expr)
 
 
+def pair_correlation(column_a: str, column_b: str) -> AggMetric:
+    """Pearson sample correlation of two numeric columns (``F.corr`` —
+    one JVM aggregate; rows with a null on either side are excluded by
+    Spark's corr semantics, matching SQL ``corr``). Extension: the
+    reference has no correlation expectation; a drift in the r between
+    two columns is a classic silent-schema-change signal."""
+    return _single(
+        f"corr_{column_a}_{column_b}",
+        F.corr(_dcol(column_a), _dcol(column_b)),
+    )
+
+
 def unique_proportion(column: str, approximate: bool = False) -> AggMetric:
     """distinct_count / nonnull_count — two bundled aggs, zero extra scans."""
     dc = safe_alias("distinct_count", column, approximate)

@@ -296,6 +296,10 @@ _agg_between(
     ),
 )
 _agg_between(
+    "expect_column_pair_correlation_to_be_between",
+    lambda c: A.pair_correlation(c.kwargs["column_A"], c.kwargs["column_B"]),
+)
+_agg_between(
     "expect_column_proportion_of_unique_values_to_be_between",
     lambda c: A.unique_proportion(
         c.kwargs["column"], approximate=c.kwargs.get("approximate", False)

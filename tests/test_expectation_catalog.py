@@ -853,3 +853,30 @@ class TestContiguous:
         v = spark.read.parquet(vp)
         got = {r["conv_id"] for r in v.collect()}
         assert got == {"c2", "c3", "c4"}
+
+
+def test_pair_correlation_expectation(spark):
+    """expect_column_pair_correlation_to_be_between (extension): Pearson r
+    in one bundled agg; segmentable via validate_by_group."""
+    import math
+
+    from great_expectations_spark import validate_by_group
+
+    rows = [("a", float(i), 2.0 * i + 1) for i in range(50)]          # r = 1
+    rows += [("b", float(i), float(50 - i)) for i in range(50)]       # r = -1
+    df = spark.createDataFrame(rows, "seg string, x double, y double")
+
+    suite = ExpectationSuite("corr")
+    suite.add("expect_column_pair_correlation_to_be_between",
+              column_A="x", column_B="y", min_value=0.99)
+    r = validate(df, suite).results[0]
+    assert not r.success          # mixed segments blur the per-segment r
+    assert abs(float(r.result["observed_value"])) < 0.5
+
+    seg = {
+        row["group"]: row
+        for row in validate_by_group(df, suite, "seg").collect()
+    }
+    assert seg["a"]["success"]
+    assert math.isclose(float(seg["a"]["observed_value"]), 1.0, abs_tol=1e-9)
+    assert not seg["b"]["success"]
