@@ -146,7 +146,7 @@ def pair_correlation(column_a: str, column_b: str) -> AggMetric:
     reference has no correlation expectation; a drift in the r between
     two columns is a classic silent-schema-change signal."""
     return _single(
-        f"corr_{column_a}_{column_b}",
+        safe_alias("corr", column_a, column_b),
         F.corr(_dcol(column_a), _dcol(column_b)),
     )
 

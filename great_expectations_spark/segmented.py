@@ -12,11 +12,14 @@ report costs the same scan count as a single-segment one.
 
 Supported expectation kinds: map conditions (not-null/in-set/between/
 regex/PII/... — anything without window or second-wave aggregate
-dependencies), scalar aggregates (mean/stddev/min/max/sum/median/
-row-count bounds), and single/compound uniqueness. Window-backed,
-two-wave (z-score), relational, query, and meta expectations raise a
-``ValueError`` naming the offender (``strict=False`` skips them) —
-their semantics are inherently cross-segment or need their own pass;
+dependencies; ``row_condition`` is honored by folding the condition
+into the per-segment counters), scalar aggregates (mean/stddev/min/
+max/sum/median/row-count/correlation bounds), and single/compound
+uniqueness. Window-backed, two-wave (z-score), relational, query,
+meta, value-counts-backed aggregates (most_common_value — its metric
+needs the planner's groupby pass), and aggregates/uniques carrying a
+``row_condition`` raise a ``ValueError`` naming the offender
+(``strict=False`` skips them) — their semantics need their own pass;
 run them through ``SuiteRunner`` instead.
 
 Scale guard: the grouped counters collect to the driver for the
@@ -57,40 +60,64 @@ def validate_by_group(
     """Per-segment EVR rows ``(group, expectation_type, success,
     element_count, missing_count, unexpected_count, observed_value)``.
 
-    NULL segment values validate as their own group (rendered as the
-    string ``"NULL"``)."""
-    maps: list[tuple[int, CompiledMap]] = []
+    NULL segment values validate as their own group (the ``group``
+    column of the result is genuinely NULL for them — no string
+    sentinel, so a data value that happens to be the string "NULL"
+    stays a separate segment)."""
+    maps: list[tuple[int, CompiledMap, str | None]] = []
     aggs: list[tuple[int, CompiledAgg]] = []
     uniqs: list[CompiledUnique] = []
-    for i, cfg in enumerate(suite.expectations):
-        comp = compile_expectation(cfg)
-        if isinstance(comp, CompiledMap) and not comp.condition.needs_window \
-                and not comp.condition.requires:
-            maps.append((i, comp))
-        elif isinstance(comp, CompiledAgg):
-            aggs.append((i, comp))
-        elif isinstance(comp, CompiledUnique):
-            uniqs.append(comp)
-        elif strict:
+
+    def _reject(cfg, why: str) -> None:
+        if strict:
             raise ValueError(
-                f"{cfg.expectation_type} is not segmentable (window/"
-                "two-wave/relational/query kinds need their own pass); "
+                f"{cfg.expectation_type} is not segmentable ({why}); "
                 "run it via SuiteRunner or pass strict=False to skip"
             )
 
+    for i, cfg in enumerate(suite.expectations):
+        comp = compile_expectation(cfg)
+        rc = cfg.kwargs.get("row_condition")
+        if isinstance(comp, CompiledMap) and not comp.condition.needs_window \
+                and not comp.condition.requires:
+            maps.append((i, comp, rc))
+        elif isinstance(comp, CompiledAgg):
+            if rc is not None:
+                _reject(cfg, "row_condition on an aggregate needs its own "
+                             "filtered pass")
+            elif not comp.metric.exprs:
+                _reject(cfg, "its metric has no bundled exprs — it needs "
+                             "the planner's value-counts pass")
+            else:
+                aggs.append((i, comp))
+        elif isinstance(comp, CompiledUnique):
+            if rc is not None:
+                _reject(cfg, "row_condition on a uniqueness check needs "
+                             "its own filtered pass")
+            else:
+                uniqs.append(comp)
+        else:
+            _reject(cfg, "window/two-wave/relational/query kinds need "
+                         "their own pass")
+
     spark = df.sparkSession
-    gcol = F.coalesce(F.col(group_by).cast("string"), F.lit("NULL"))
+    gcol = F.col(group_by).cast("string")
     out: list[tuple] = []
 
     # ---- ONE bundled pass: every map counter + every agg metric ---------
     exprs: list[F.Column] = [F.count(F.lit(1)).alias("__ec")]
-    for i, cm in maps:
+    for i, cm, rc in maps:
         c = cm.condition
+        dom = F.expr(rc) if rc is not None else F.lit(True)
+        if rc is not None:
+            # row_condition shrinks the domain exactly as SuiteRunner's
+            # df.filter(row_condition) does — per-expectation counters
+            exprs.append(F.sum(F.when(dom, 1).otherwise(0)).alias(f"e_{i}"))
         exprs.append(
-            F.sum(F.when(c.missing, 1).otherwise(0)).alias(f"m_{i}")
+            F.sum(F.when(dom & c.missing, 1).otherwise(0)).alias(f"m_{i}")
         )
         exprs.append(
-            F.sum(F.when(c.unexpected, 1).otherwise(0)).alias(f"u_{i}")
+            F.sum(F.when(dom & c.unexpected, 1).otherwise(0)).alias(f"u_{i}")
         )
     for i, ca in aggs:
         for alias, e in ca.metric.exprs.items():
@@ -113,12 +140,13 @@ def validate_by_group(
         for row in _capped_collect(grouped):
             g = row["__g"]
             ec = int(row["__ec"])
-            for i, cm in maps:
+            for i, cm, rc in maps:
+                ec_i = int(row[f"e_{i}"]) if rc is not None else ec
                 missing, unexpected = int(row[f"m_{i}"]), int(row[f"u_{i}"])
-                ok = calc_map_success(ec, missing, unexpected, cm.mostly)
+                ok = calc_map_success(ec_i, missing, unexpected, cm.mostly)
                 out.append((
                     g, cm.cfg.expectation_type, bool(ok),
-                    ec, missing, unexpected, None,
+                    ec_i, missing, unexpected, None,
                 ))
             for i, ca in aggs:
                 values = {
@@ -134,8 +162,12 @@ def validate_by_group(
     # ---- one keyed pass per uniqueness expectation -----------------------
     for cu in uniqs:
         keys = [F.col(c) for c in cu.key_cols]
-        missing_row = F.greatest(*[k.isNull() for k in keys]) if len(keys) > 1 \
-            else keys[0].isNull()
+        # match SuiteRunner's compound domain: missing only when ALL key
+        # columns are null (ignore_row_if=all_values_are_missing default);
+        # a partially-null key still participates in uniqueness
+        missing_row = keys[0].isNull()
+        for k in keys[1:]:
+            missing_row = missing_row & k.isNull()
         per_key = (
             df.select(
                 gcol.alias("__g"),

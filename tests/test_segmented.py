@@ -37,8 +37,8 @@ def test_per_segment_map_and_agg(spark, seg_df):
     assert not nn_b["success"] and nn_b["unexpected_count"] == 10
     assert out[("a", "expect_column_mean_to_be_between")]["success"]
     assert not out[("b", "expect_column_mean_to_be_between")]["success"]
-    # NULL segment validates as its own group
-    assert out[("NULL", "expect_column_values_to_not_be_null")]["success"]
+    # NULL segment validates as its own group (group stays genuinely null)
+    assert out[(None, "expect_column_values_to_not_be_null")]["success"]
 
 
 def test_per_segment_uniqueness(spark):
@@ -110,3 +110,79 @@ def test_max_groups_guard_applies_to_unique_pass_too(spark):
     suite.add("expect_column_values_to_be_unique", column="k")
     with pytest.raises(ValueError, match="max_groups"):
         validate_by_group(df, suite, "seg", max_groups=10)
+
+
+def test_row_condition_honored_on_maps(spark):
+    """row_condition shrinks the per-segment domain exactly like
+    SuiteRunner's filter (review finding: it was silently ignored)."""
+    from great_expectations_spark import validate
+
+    df = spark.createDataFrame(
+        [("a", "score", 0.5), ("a", "score", 2.0), ("a", "meta", 99.0),
+         ("b", "score", 0.1), ("b", "meta", -5.0)],
+        "seg string, kind string, v double",
+    )
+    suite = ExpectationSuite("rc")
+    suite.add("expect_column_values_to_be_between", column="v",
+              min_value=0.0, max_value=1.0, row_condition="kind = 'score'")
+    seg = {
+        r["group"]: r
+        for r in validate_by_group(df, suite, "seg").collect()
+    }
+    # segment a: 2 in-domain rows, one (2.0) out of bounds; 99.0 excluded
+    assert seg["a"]["element_count"] == 2
+    assert seg["a"]["unexpected_count"] == 1 and not seg["a"]["success"]
+    # segment b: the -5.0 meta row is outside the condition
+    assert seg["b"]["element_count"] == 1 and seg["b"]["success"]
+    # parity with the runner on the pre-filtered segment
+    r = validate(df.filter("seg = 'a'").filter("kind = 'score'"),
+                 _between_suite()).results[0]
+    assert r.result["unexpected_count"] == seg["a"]["unexpected_count"]
+    assert r.result["element_count"] == seg["a"]["element_count"]
+
+
+def _between_suite():
+    s = ExpectationSuite("one")
+    s.add("expect_column_values_to_be_between", column="v",
+          min_value=0.0, max_value=1.0)
+    return s
+
+
+def test_partial_null_compound_key_counts_as_duplicate(spark):
+    """Review finding: the runner's compound domain excludes only
+    all-null keys; a (1, NULL) pair appearing twice IS a duplicate."""
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 1, None), ("a", None, None)],
+        "seg string, k1 int, k2 int",
+    )
+    suite = ExpectationSuite("cu")
+    suite.add("expect_compound_columns_to_be_unique",
+              column_list=["k1", "k2"])
+    row = validate_by_group(df, suite, "seg").collect()[0]
+    assert row["unexpected_count"] == 2 and not row["success"]
+    assert row["missing_count"] == 1          # only the all-null row
+
+
+def test_most_common_value_rejected_not_wrong(spark, seg_df):
+    """Review finding: most_common_value's metric needs the planner's
+    value-counts pass — segmented must refuse, never silently pass."""
+    suite = ExpectationSuite("mcv")
+    suite.add("expect_column_most_common_value_to_be_in_set",
+              column="text", value_set=["x"])
+    with pytest.raises(ValueError, match="not segmentable"):
+        validate_by_group(seg_df, suite, "seg")
+
+
+def test_null_segment_group_is_null_not_sentinel(spark):
+    """Review finding: a data value that IS the string 'NULL' must stay
+    a separate segment from genuinely-null group values."""
+    df = spark.createDataFrame(
+        [("NULL", 1), (None, None), (None, 2)],
+        "seg string, k int",
+    )
+    suite = ExpectationSuite("n")
+    suite.add("expect_column_values_to_not_be_null", column="k")
+    rows = {r["group"]: r for r in validate_by_group(df, suite, "seg").collect()}
+    assert set(rows) == {"NULL", None}
+    assert rows["NULL"]["success"]
+    assert not rows[None]["success"] and rows[None]["unexpected_count"] == 1

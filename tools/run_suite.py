@@ -95,16 +95,23 @@ def main(argv: list[str]) -> int:
     run_id = args.run_id or f"run-{uuid.uuid4().hex[:12]}"
 
     if args.segment_col:
+        if args.partition_col or args.evr or args.violations:
+            print("--segment-col is its own mode: it writes per-segment "
+                  "EVR rows to --segment-out, not the checkpoint "
+                  "stores — drop --partition-col/--evr/--violations or "
+                  "run them as a separate invocation", file=sys.stderr)
+            return 2
         from great_expectations_spark import validate_by_group
 
         seg = validate_by_group(
             df, suite, args.segment_col,
             max_groups=args.segment_max_groups,
         )
+        # the result is already driver-local (validate_by_group collects
+        # the grouped counters); collect once, then persist the same frame
+        rows = seg.collect()
         if args.segment_out:
             seg.write.mode("overwrite").parquet(args.segment_out)
-            seg = spark.read.parquet(args.segment_out)
-        rows = seg.collect()
         n_seg = len({r["group"] for r in rows})
         failed = sorted({r["group"] for r in rows if not r["success"]})
         ok = not failed

@@ -101,7 +101,8 @@ def main() -> None:
     import time as _time
     try:
         rev = _sp.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
-                      capture_output=True, text=True).stdout.strip()
+                      capture_output=True, text=True).stdout.strip() \
+            or "unknown"
     except Exception:
         rev = "unknown"
     with open(os.path.join(REPO, "BENCH", "SCALING_RUNS.jsonl"), "a") as fh:
