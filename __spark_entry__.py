@@ -1391,7 +1391,8 @@ def _segment_validation_oracle() -> str:
         "count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3) GROUP BY 1) "
         "SELECT seg, 'expect_column_values_to_be_between' "
         "AS expectation_type, "
-        "(CAST(ec - miss_b - ux_b AS DOUBLE) / (ec - miss_b)) >= 0.5 "
+        "(CASE WHEN ec - miss_b = 0 THEN true ELSE "
+        "(CAST(ec - miss_b - ux_b AS DOUBLE) / (ec - miss_b)) >= 0.5 END) "
         "AS success, CAST(ec AS BIGINT) AS element_count, "
         "CAST(miss_b AS BIGINT) AS missing_count, "
         "CAST(ux_b AS BIGINT) AS unexpected_count FROM g "

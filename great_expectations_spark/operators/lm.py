@@ -82,19 +82,23 @@ def score_documents(
     """
     vocab_rel = vocab.select("token", "logp")
     if oov_logp is None:
-        # Materialize the ≤top_k-row vocab ONCE: deriving the OOV floor
-        # with vocab.agg(min).collect() on the lazy relation would re-run
-        # the full corpus token-count pass a second time inside the
-        # scoring job's broadcast — the collected rows (driver-bounded by
-        # top_k) both yield min(logp) locally and rebuild the broadcast
-        # side, so the corpus is tokenized exactly once per pass.
-        rows = vocab_rel.collect()
-        if not rows:
+        # Materialize the ≤top_k-row vocab ONCE, executor-side: persist,
+        # then a ONE-ROW agg yields the OOV floor. The scoring job's
+        # broadcast reads the same cache, so the corpus is tokenized
+        # exactly once per pass and NOTHING O(top_k) ever reaches the
+        # driver — an arbitrary large (token, logp) relation can't OOM it
+        # (the earlier collect+rebuild shape could, at vocab ≥ ~1M rows).
+        # The cache entry is released by Spark's ContextCleaner when the
+        # relation is no longer referenced.
+        from pyspark.storagelevel import StorageLevel
+
+        vocab_rel = vocab_rel.persist(StorageLevel.MEMORY_AND_DISK)
+        row = vocab_rel.agg(
+            F.min("logp").alias("__m"), F.count(F.lit(1)).alias("__n")
+        ).collect()[0]
+        if not row["__n"]:
             raise ValueError("vocab is empty; pass oov_logp explicitly")
-        oov_logp = min(r["logp"] for r in rows) - math.log(2.0)
-        vocab_rel = df.sparkSession.createDataFrame(
-            rows, "token string, logp double"
-        )
+        oov_logp = float(row["__m"]) - math.log(2.0)
 
     slim = df.select(
         F.col(id_col).alias("__id"),

@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 URL_PATTERN = r"https?://[^\s<>\"')\]]+"
 
 #: group 1 = host: skip optional userinfo, stop at port/path/query/frag.
-HOST_PATTERN = r"^https?://(?:[^/@?#]*@)?([^/:?#]+)"
+#: ``,`` is excluded from the host class — it is never legal in a hostname,
+#: and an unspaced token like ``https://evil.org,mirror.com`` must yield
+#: host ``evil.org`` (not a phantom ``evil.org,mirror.com`` that would also
+#: evade the blocklist gate). Imported verbatim by the DuckDB oracle.
+HOST_PATTERN = r"^https?://(?:[^/@?#]*@)?([^/:?#,]+)"
 
 
 def _c(col: str | Column) -> Column:

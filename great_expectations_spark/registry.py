@@ -752,6 +752,12 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
     group_by = list(cfg.kwargs["group_by"])
     start = int(cfg.kwargs.get("start", 0))
     mostly = cfg.mostly
+    # run() persists the per-group stats and stashes them here so the
+    # violations pass reuses the cached aggregation instead of re-scanning
+    # and re-shuffling the whole table (the runner always calls run()
+    # before violations() on the same df). The cache entry is reclaimed by
+    # Spark's ContextCleaner when this compiled expectation is dropped.
+    state: dict[str, Any] = {}
 
     def _group_stats(df: DataFrame) -> DataFrame:
         return (
@@ -777,14 +783,26 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
     def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
         # rows belonging to broken groups; the bad-group set is small in the
         # passing regime, so AQE broadcasts the build side (no forced hint —
-        # a wholly-broken table would flag every group)
-        return df.join(_bad(_group_stats(df)).select(*group_by), on=group_by,
+        # a wholly-broken table would flag every group). Reuses run()'s
+        # persisted stats when available: ONE aggregation of the table per
+        # validated run, not one per consumer.
+        stats = (
+            state["stats"] if state.get("src") == id(df) else _group_stats(df)
+        )
+        return df.join(_bad(stats).select(*group_by), on=group_by,
                        how="left_semi")
 
     def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+        from pyspark.storagelevel import StorageLevel
+
         from great_expectations_spark.result import calc_map_success
 
-        row = _group_stats(df).agg(
+        stats = _group_stats(df).persist(StorageLevel.MEMORY_AND_DISK)
+        old = state.get("stats")
+        if old is not None:
+            old.unpersist()
+        state["src"], state["stats"] = id(df), stats
+        row = stats.agg(
             F.count(F.lit(1)).alias("tg"),
             F.sum(
                 F.when(

@@ -156,7 +156,10 @@ def validate_by_group(
                 ok, _extra = ca.validate(observed)
                 out.append((
                     g, ca.cfg.expectation_type, bool(ok),
-                    ec, 0, 0, str(observed),
+                    ec, 0, 0,
+                    # NULL observed (all-null segment) stays SQL NULL — the
+                    # string 'None' would render as text in the docs page
+                    str(observed) if observed is not None else None,
                 ))
 
     # ---- one keyed pass per uniqueness expectation -----------------------

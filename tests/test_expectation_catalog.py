@@ -854,6 +854,24 @@ class TestContiguous:
         got = {r["conv_id"] for r in v.collect()}
         assert got == {"c2", "c3", "c4"}
 
+    def test_violations_reuse_run_stats(self, spark, turns):
+        """ONE aggregation of the table per validated run: the violations
+        frame must read run()'s persisted per-group stats (InMemoryTableScan
+        in the physical plan), never re-aggregate the table from scratch."""
+        from great_expectations_spark.registry import compile_expectation
+        from great_expectations_spark.suite import ExpectationConfiguration
+
+        comp = compile_expectation(ExpectationConfiguration(
+            "expect_column_values_to_be_contiguous",
+            {"column": "turn_idx", "group_by": ["conv_id"], "start": 0},
+        ))
+        comp.run(turns, {})
+        viol = comp.violations(turns, {})
+        plan = viol._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert {r["conv_id"] for r in viol.select("conv_id").distinct().collect()} \
+            == {"c2", "c3", "c4"}
+
 
 def test_pair_correlation_expectation(spark):
     """expect_column_pair_correlation_to_be_between (extension): Pearson r
