@@ -555,6 +555,13 @@ def q_segment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite.add("expect_table_row_count_to_be_between", min_value=100)
     suite.add("expect_compound_columns_to_be_unique",
               column_list=["l_orderkey", "l_linenumber"])
+    # round 5: two-wave (per-segment mean/stddev feed wave-2 counters) and
+    # value-counts-backed (modes with ties) kinds are now segmentable
+    suite.add("expect_column_value_z_scores_to_be_less_than",
+              column="l_extendedprice", threshold=1.5, double_sided=True,
+              mostly=0.8)
+    suite.add("expect_column_most_common_value_to_be_in_set",
+              column="l_linenumber", value_set=[1])
     out = validate_by_group(li, suite, "l_returnflag")
     return out.select(
         F.col("group").alias("seg"), "expectation_type", "success",
@@ -1378,17 +1385,35 @@ def _segment_validation_oracle() -> str:
     """Per-l_returnflag replay of the segmented suite: map counters with
     mostly=0.5, mean/row-count bounds, per-segment compound uniqueness
     (element=all rows, missing=null-key rows, unexpected=rows of keys
-    seen >1x within the segment) — calc_map_success semantics inline."""
+    seen >1x within the segment), two-wave z-score (per-segment
+    mean/stddev_samp joined back per row; NULL/zero stddev makes every
+    non-null row unexpected — coalesce(success,false) parity), and
+    most_common_value (modes with ties; strict = exactly one mode, in the
+    set) — calc_map_success semantics inline."""
     return (
         "WITH g AS (SELECT l_returnflag AS seg, count(*) AS ec, "
         "sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS miss_b, "
         "sum(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount >= 0.0 "
         "AND l_discount <= 0.05) THEN 1 ELSE 0 END) AS ux_b, "
+        "sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) "
+        "AS miss_z, "
+        "avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sd, "
         "avg(l_quantity) AS mean_q FROM lineitem GROUP BY 1), "
         "u AS (SELECT seg, sum(cnt) AS ec2, "
         "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup FROM "
         "(SELECT l_returnflag AS seg, l_orderkey, l_linenumber, "
-        "count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3) GROUP BY 1) "
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3) GROUP BY 1), "
+        "zx AS (SELECT l.l_returnflag AS seg, "
+        "sum(CASE WHEN l.l_extendedprice IS NOT NULL AND (g.sd IS NULL "
+        "OR g.sd = 0 OR NOT (abs((l.l_extendedprice - g.mu) / g.sd) < 1.5)) "
+        "THEN 1 ELSE 0 END) AS ux_z "
+        "FROM lineitem l JOIN g ON l.l_returnflag = g.seg GROUP BY 1), "
+        "v AS (SELECT l_returnflag AS seg, l_linenumber AS val, count(*) "
+        "AS c FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2), "
+        "vm AS (SELECT seg, max(c) AS mc FROM v GROUP BY 1), "
+        "m AS (SELECT v.seg, count(*) AS nmodes, "
+        "bool_and(v.val = 1) AS allin FROM v JOIN vm "
+        "ON v.seg = vm.seg AND v.c = vm.mc GROUP BY 1) "
         "SELECT seg, 'expect_column_values_to_be_between' "
         "AS expectation_type, "
         "(CASE WHEN ec - miss_b = 0 THEN true ELSE "
@@ -1404,7 +1429,18 @@ def _segment_validation_oracle() -> str:
         "CAST(0 AS BIGINT) FROM g "
         "UNION ALL SELECT seg, 'expect_compound_columns_to_be_unique', "
         "dup = 0, CAST(ec2 AS BIGINT), CAST(0 AS BIGINT), "
-        "CAST(dup AS BIGINT) FROM u"
+        "CAST(dup AS BIGINT) FROM u "
+        "UNION ALL SELECT g.seg, "
+        "'expect_column_value_z_scores_to_be_less_than', "
+        "(CASE WHEN ec - miss_z = 0 THEN true ELSE "
+        "(CAST(ec - miss_z - ux_z AS DOUBLE) / (ec - miss_z)) >= 0.8 END), "
+        "CAST(ec AS BIGINT), CAST(miss_z AS BIGINT), "
+        "CAST(ux_z AS BIGINT) FROM g JOIN zx ON g.seg = zx.seg "
+        "UNION ALL SELECT g.seg, "
+        "'expect_column_most_common_value_to_be_in_set', "
+        "(m.nmodes = 1 AND m.allin), CAST(ec AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM g JOIN m "
+        "ON g.seg = m.seg"
     )
 
 

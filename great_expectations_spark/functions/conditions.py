@@ -47,6 +47,11 @@ class MapCondition:
     #: condition is built in wave 2 via ``rebuild(dep_values)``
     requires: dict[str, Column] = field(default_factory=dict)
     rebuild: Callable[[dict[str, Any]], "MapCondition"] | None = None
+    #: expression form of ``rebuild``: deps arrive as COLUMNS (one value per
+    #: row, e.g. per-segment mean/stddev joined onto the batch) instead of
+    #: Python scalars — what lets segmented validation run the two-wave
+    #: condition for every segment in ONE wave-2 pass
+    rebuild_expr: Callable[[dict[str, Column]], "MapCondition"] | None = None
 
     @property
     def unexpected(self) -> Column:
@@ -581,6 +586,18 @@ def z_scores_under_threshold(
         success = (F.abs(z) < threshold) if double_sided else (z < threshold)
         return MapCondition([column], _nonnull_domain(column), success, c)
 
+    def rebuild_expr(deps: dict[str, Column]) -> MapCondition:
+        # Column-deps twin of ``rebuild`` — identical semantics expressed
+        # per-row: NULL/zero stddev ⇒ z is NULL ⇒ the row counts unexpected
+        # (matches the literal path where z = lit(None) for the whole batch)
+        mean_c, std_c = deps[mean_alias], deps[std_alias]
+        z = (
+            F.when(std_c.isNull() | (std_c == 0), F.lit(None).cast("double"))
+            .otherwise((c.cast("double") - mean_c) / std_c)
+        )
+        success = (F.abs(z) < threshold) if double_sided else (z < threshold)
+        return MapCondition([column], _nonnull_domain(column), success, c)
+
     return MapCondition(
         [column],
         _nonnull_domain(column),
@@ -591,6 +608,7 @@ def z_scores_under_threshold(
             std_alias: F.stddev_samp(c.cast("double")),
         },
         rebuild=rebuild,
+        rebuild_expr=rebuild_expr,
     )
 
 

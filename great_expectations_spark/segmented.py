@@ -11,16 +11,27 @@ keyed pass per uniqueness expectation), so a 10,000-segment quality
 report costs the same scan count as a single-segment one.
 
 Supported expectation kinds: map conditions (not-null/in-set/between/
-regex/PII/... — anything without window or second-wave aggregate
-dependencies; ``row_condition`` is honored by folding the condition
-into the per-segment counters), scalar aggregates (mean/stddev/min/
-max/sum/median/row-count/correlation bounds), and single/compound
-uniqueness. Window-backed, two-wave (z-score), relational, query,
-meta, value-counts-backed aggregates (most_common_value — its metric
-needs the planner's groupby pass), and aggregates/uniques carrying a
-``row_condition`` raise a ``ValueError`` naming the offender
-(``strict=False`` skips them) — their semantics need their own pass;
-run them through ``SuiteRunner`` instead.
+regex/PII/... — anything without window dependencies; ``row_condition``
+is honored by folding the condition into the per-segment counters),
+two-wave map conditions (z-score: wave 1 computes per-segment
+mean/stddev inside the same bundled groupBy, wave 2 broadcast-joins the
+tiny per-segment stats back onto the batch and counts — two shuffles
+total, still one scan per wave, for every segment at once), scalar
+aggregates (mean/stddev/min/max/sum/median/row-count/correlation
+bounds), value-counts-backed aggregates (most_common_value — one shared
+keyed pass per distinct column, modes-with-ties via a broadcast
+max-join, never a per-segment collect_list of all distinct values), and
+single/compound uniqueness. Window-backed, relational, query, meta, and
+aggregates/uniques/two-wave maps carrying a ``row_condition`` raise a
+``ValueError`` naming the offender (``strict=False`` skips them) —
+their semantics need their own pass; run them through ``SuiteRunner``
+instead.
+
+Violations sink: pass ``violations_path`` (plus
+``unexpected_index_column_names``) to append every failing row as
+``(group, <index cols…>, expectation, observed_value)`` parquet rows —
+the same executor-side write path ``SuiteRunner`` uses; nothing
+row-level ever reaches the driver.
 
 Scale guard: the grouped counters collect to the driver for the
 (Python) finalizers, so segment cardinality must be report-sized —
@@ -56,6 +67,8 @@ def validate_by_group(
     group_by: str,
     strict: bool = True,
     max_groups: int = 100_000,
+    violations_path: str | None = None,
+    unexpected_index_column_names: list[str] | None = None,
 ) -> DataFrame:
     """Per-segment EVR rows ``(group, expectation_type, success,
     element_count, missing_count, unexpected_count, observed_value)``.
@@ -65,7 +78,9 @@ def validate_by_group(
     sentinel, so a data value that happens to be the string "NULL"
     stays a separate segment)."""
     maps: list[tuple[int, CompiledMap, str | None]] = []
+    dep_maps: list[tuple[int, CompiledMap]] = []
     aggs: list[tuple[int, CompiledAgg]] = []
+    vc_aggs: list[tuple[int, CompiledAgg, str]] = []
     uniqs: list[CompiledUnique] = []
 
     def _reject(cfg, why: str) -> None:
@@ -78,16 +93,30 @@ def validate_by_group(
     for i, cfg in enumerate(suite.expectations):
         comp = compile_expectation(cfg)
         rc = cfg.kwargs.get("row_condition")
-        if isinstance(comp, CompiledMap) and not comp.condition.needs_window \
-                and not comp.condition.requires:
+        if isinstance(comp, CompiledMap) and comp.condition.needs_window:
+            _reject(cfg, "window-backed conditions need their own "
+                         "per-segment ordering pass")
+        elif isinstance(comp, CompiledMap) and comp.condition.requires:
+            if comp.condition.rebuild_expr is None:
+                _reject(cfg, "its two-wave condition has no column-deps "
+                             "form (rebuild_expr)")
+            elif rc is not None:
+                _reject(cfg, "row_condition on a two-wave condition needs "
+                             "its own filtered pass")
+            else:
+                dep_maps.append((i, comp))
+        elif isinstance(comp, CompiledMap):
             maps.append((i, comp, rc))
         elif isinstance(comp, CompiledAgg):
+            vc_col = getattr(comp.metric, "groupby_value_counts", None)
             if rc is not None:
                 _reject(cfg, "row_condition on an aggregate needs its own "
                              "filtered pass")
+            elif vc_col is not None:
+                vc_aggs.append((i, comp, vc_col))
             elif not comp.metric.exprs:
-                _reject(cfg, "its metric has no bundled exprs — it needs "
-                             "the planner's value-counts pass")
+                _reject(cfg, "its metric has no bundled exprs and no "
+                             "value-counts column")
             else:
                 aggs.append((i, comp))
         elif isinstance(comp, CompiledUnique):
@@ -97,14 +126,37 @@ def validate_by_group(
             else:
                 uniqs.append(comp)
         else:
-            _reject(cfg, "window/two-wave/relational/query kinds need "
-                         "their own pass")
+            _reject(cfg, "relational/query/meta kinds need their own pass")
 
     spark = df.sparkSession
     gcol = F.col(group_by).cast("string")
     out: list[tuple] = []
+    index_cols = [
+        c for c in (unexpected_index_column_names or []) if c in df.columns
+    ]
+    violation_frames: list[DataFrame] = []
 
-    # ---- ONE bundled pass: every map counter + every agg metric ---------
+    def _viol_frame(seg: F.Column, src: DataFrame, cond, dom,
+                    expectation_type: str) -> DataFrame:
+        # same executor-side shape SuiteRunner._map_violations writes:
+        # project the condition, filter, never collect
+        return (
+            src.select(
+                seg.alias("group"),
+                *[F.col(c) for c in index_cols],
+                cond.observed.cast("string").alias("observed_value"),
+                (dom & cond.unexpected).alias("__unexpected"),
+            )
+            .filter(F.col("__unexpected"))
+            .select(
+                "group", *index_cols,
+                F.lit(expectation_type).alias("expectation"),
+                "observed_value",
+            )
+        )
+
+    # ---- ONE bundled pass: every map counter + every agg metric + the
+    # wave-1 deps (per-segment mean/stddev) of every two-wave condition ----
     exprs: list[F.Column] = [F.count(F.lit(1)).alias("__ec")]
     for i, cm, rc in maps:
         c = cm.condition
@@ -119,6 +171,14 @@ def validate_by_group(
         exprs.append(
             F.sum(F.when(dom & c.unexpected, 1).otherwise(0)).alias(f"u_{i}")
         )
+    for i, cm in dep_maps:
+        # missing is dep-free, so it rides wave 1 with the dep aggregates
+        exprs.append(
+            F.sum(F.when(cm.condition.missing, 1).otherwise(0))
+            .alias(f"m_{i}")
+        )
+        for alias, e in cm.condition.requires.items():
+            exprs.append(e.alias(f"d{i}_{alias}"))
     for i, ca in aggs:
         for alias, e in ca.metric.exprs.items():
             exprs.append(e.alias(f"a{i}_{alias}"))
@@ -135,9 +195,62 @@ def validate_by_group(
             )
         return rows
 
-    if maps or aggs:
+    from pyspark.storagelevel import StorageLevel
+
+    to_unpersist: list[DataFrame] = []
+    ec_by_g: dict[Any, int] = {}
+    if maps or aggs or dep_maps or vc_aggs:
         grouped = df.groupBy(gcol.alias("__g")).agg(*exprs)
-        for row in _capped_collect(grouped):
+        if dep_maps:
+            # wave 2 reads the same per-segment stats the collect below
+            # reads — persist so the aggregation runs once
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            to_unpersist.append(grouped)
+        wave1_rows = _capped_collect(grouped)
+        for row in wave1_rows:
+            ec_by_g[row["__g"]] = int(row["__ec"])
+
+        # ---- wave 2: every two-wave condition rebuilt with its segment's
+        # deps as COLUMNS (per-segment stats broadcast-joined back onto the
+        # batch), all counted in ONE second groupBy — two shuffles total
+        # for any number of z-score expectations × segments ---------------
+        w2_by_g: dict[Any, Any] = {}
+        if dep_maps:
+            dep_cols = [F.col("__g").alias("__dg")]
+            for i, cm in dep_maps:
+                dep_cols.extend(
+                    F.col(f"d{i}_{alias}") for alias in cm.condition.requires
+                )
+            deps_rel = grouped.select(*dep_cols)
+            base = df.select(gcol.alias("__seg"), "*")
+            joined = base.join(
+                F.broadcast(deps_rel),
+                on=F.col("__seg").eqNullSafe(F.col("__dg")),
+                how="left",
+            )
+            w2_exprs = []
+            dep_conds: dict[int, Any] = {}
+            for i, cm in dep_maps:
+                cond = cm.condition.rebuild_expr({
+                    alias: F.col(f"d{i}_{alias}")
+                    for alias in cm.condition.requires
+                })
+                dep_conds[i] = cond
+                w2_exprs.append(
+                    F.sum(F.when(cond.unexpected, 1).otherwise(0))
+                    .alias(f"u_{i}")
+                )
+            wave2 = joined.groupBy(F.col("__seg").alias("__g")).agg(*w2_exprs)
+            for row in _capped_collect(wave2):
+                w2_by_g[row["__g"]] = row
+            if violations_path:
+                for i, cm in dep_maps:
+                    violation_frames.append(_viol_frame(
+                        F.col("__seg"), joined, dep_conds[i], F.lit(True),
+                        cm.cfg.expectation_type,
+                    ))
+
+        for row in wave1_rows:
             g = row["__g"]
             ec = int(row["__ec"])
             for i, cm, rc in maps:
@@ -147,6 +260,15 @@ def validate_by_group(
                 out.append((
                     g, cm.cfg.expectation_type, bool(ok),
                     ec_i, missing, unexpected, None,
+                ))
+            for i, cm in dep_maps:
+                missing = int(row[f"m_{i}"])
+                w2 = w2_by_g.get(g)
+                unexpected = int(w2[f"u_{i}"]) if w2 is not None else 0
+                ok = calc_map_success(ec, missing, unexpected, cm.mostly)
+                out.append((
+                    g, cm.cfg.expectation_type, bool(ok),
+                    ec, missing, unexpected, None,
                 ))
             for i, ca in aggs:
                 values = {
@@ -160,6 +282,57 @@ def validate_by_group(
                     # NULL observed (all-null segment) stays SQL NULL — the
                     # string 'None' would render as text in the docs page
                     str(observed) if observed is not None else None,
+                ))
+
+        if violations_path:
+            for i, cm, rc in maps:
+                dom = F.expr(rc) if rc is not None else F.lit(True)
+                violation_frames.append(_viol_frame(
+                    gcol, df, cm.condition, dom, cm.cfg.expectation_type
+                ))
+
+    # ---- one shared keyed pass per distinct value-counts column ---------
+    if vc_aggs:
+        modes_by_col: dict[str, dict[Any, list]] = {}
+        for col in {c for _, _, c in vc_aggs}:
+            vc = (
+                df.filter(F.col(col).isNotNull())
+                .groupBy(gcol.alias("__g"), F.col(col).alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                # modes-with-ties: per-segment max joined back (broadcast —
+                # ≤max_groups tiny rows), never a collect_list of every
+                # distinct value a segment holds
+                mx = vc.groupBy(F.col("__g").alias("__gm")).agg(
+                    F.max("__cnt").alias("__mx")
+                )
+                modes = (
+                    vc.join(
+                        F.broadcast(mx),
+                        on=F.col("__g").eqNullSafe(F.col("__gm"))
+                        & (F.col("__cnt") == F.col("__mx")),
+                    )
+                    .groupBy("__g")
+                    .agg(F.sort_array(F.collect_list("__v")).alias("__modes"))
+                )
+                modes_by_col[col] = {
+                    r["__g"]: list(r["__modes"])
+                    for r in _capped_collect(modes)
+                }
+            finally:
+                vc.unpersist()
+        for i, ca, col in vc_aggs:
+            by_g = modes_by_col[col]
+            # a segment whose column is entirely NULL has no value counts —
+            # observed [] mirrors the runner's mode_job empty result
+            for g, ec in ec_by_g.items():
+                observed = by_g.get(g, [])
+                ok, _extra = ca.validate(observed)
+                out.append((
+                    g, ca.cfg.expectation_type, bool(ok),
+                    ec, 0, 0, str(observed),
                 ))
 
     # ---- one keyed pass per uniqueness expectation -----------------------
@@ -180,6 +353,11 @@ def validate_by_group(
             .groupBy("__g", "__miss", *[f"__k{j}" for j in range(len(keys))])
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
+        if violations_path:
+            # the violations join reads the same keyed counts as the
+            # per-segment rollup below — persist so the shuffle runs once
+            per_key = per_key.persist(StorageLevel.MEMORY_AND_DISK)
+            to_unpersist.append(per_key)
         seg = per_key.groupBy("__g").agg(
             F.sum("__cnt").alias("__ec"),
             F.sum(F.when(F.col("__miss"), F.col("__cnt")).otherwise(0))
@@ -197,5 +375,37 @@ def validate_by_group(
                 row["__g"], cu.cfg.expectation_type, bool(ok),
                 ec, missing, ux, None,
             ))
+        if violations_path:
+            # ALL rows of a key duplicated WITHIN its segment (SuiteRunner
+            # row-marking parity), via a semi-join against the dup keys
+            dup_keys = per_key.filter(
+                ~F.col("__miss") & (F.col("__cnt") > 1)
+            ).select("__g", *[f"__k{j}" for j in range(len(keys))])
+            jc = F.col("__seg").eqNullSafe(F.col("__g"))
+            for j, kname in enumerate(cu.key_cols):
+                jc = jc & F.col(kname).eqNullSafe(F.col(f"__k{j}"))
+            violation_frames.append(
+                df.select(gcol.alias("__seg"), "*")
+                .join(dup_keys, on=jc, how="left_semi")
+                .select(
+                    F.col("__seg").alias("group"),
+                    *[F.col(c) for c in index_cols],
+                    F.lit(cu.cfg.expectation_type).alias("expectation"),
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in cu.key_cols]
+                    ).alias("observed_value"),
+                )
+            )
 
+    # ---- executor-side violations write (same path SuiteRunner uses) ----
+    if violations_path and violation_frames:
+        vout = violation_frames[0]
+        for vf in violation_frames[1:]:
+            vout = vout.unionByName(vf)
+        vout.write.mode("append").partitionBy("expectation").parquet(
+            violations_path
+        )
+
+    for rel in to_unpersist:
+        rel.unpersist()
     return spark.createDataFrame(out, RESULT_SCHEMA)

@@ -163,14 +163,131 @@ def test_partial_null_compound_key_counts_as_duplicate(spark):
     assert row["missing_count"] == 1          # only the all-null row
 
 
-def test_most_common_value_rejected_not_wrong(spark, seg_df):
-    """Review finding: most_common_value's metric needs the planner's
-    value-counts pass — segmented must refuse, never silently pass."""
+def test_most_common_value_per_segment(spark):
+    """most_common_value is segmentable (round 5): one shared keyed pass,
+    modes-with-ties per segment, all-null segment → empty modes."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"),          # a: mode [x]
+         ("b", "x"), ("b", "y"),                       # b: tie [x, y]
+         ("c", None), ("c", None)],                    # c: no values
+        "seg string, v string",
+    )
     suite = ExpectationSuite("mcv")
     suite.add("expect_column_most_common_value_to_be_in_set",
-              column="text", value_set=["x"])
+              column="v", value_set=["x"])
+    suite.add("expect_column_most_common_value_to_be_in_set",
+              column="v", value_set=["x", "y"], ties_okay=True)
+    rows = validate_by_group(df, suite, "seg").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["group"], []).append(r)
+    assert all(r["observed_value"] == "['x']" for r in by["a"])
+    assert all(r["success"] for r in by["a"])          # [x] ⊆ both sets
+    b_strict = [r for r in by["b"] if not r["success"]]
+    assert len(b_strict) == 1                          # tie fails strict…
+    b_ok = [r for r in by["b"] if r["success"]]
+    assert b_ok and b_ok[0]["observed_value"] == "['x', 'y']"  # …passes ties
+    c_strict = [r for r in by["c"] if not r["success"]]
+    assert len(c_strict) == 1                          # [] fails strict
+    assert all(r["observed_value"] == "[]" for r in by["c"])
+
+
+def test_mcv_matches_suite_runner_per_segment(spark):
+    """Segmented most_common_value ≡ SuiteRunner on each filtered segment
+    (the runner computes modes via its value-counts mode_job)."""
+    from great_expectations_spark import validate
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)],
+        "seg string, v int",
+    )
+    suite = ExpectationSuite("mcv")
+    suite.add("expect_column_most_common_value_to_be_in_set",
+              column="v", value_set=[1, 3])
+    seg = {r["group"]: r for r in validate_by_group(df, suite, "seg").collect()}
+    for g in ("a", "b"):
+        r = validate(df.filter(F.col("seg") == g), suite).results[0]
+        assert seg[g]["success"] == r.success
+
+
+def test_zscore_two_wave_per_segment(spark):
+    """Two-wave z-score is segmentable (round 5): wave 1 computes
+    per-segment mean/stddev inside the bundled groupBy, wave 2 rebuilds the
+    condition with those stats joined back per segment. Each segment uses
+    ITS OWN distribution — the outlier is only an outlier within 'a'."""
+    from great_expectations_spark import validate
+
+    rows = [("a", float(v)) for v in [10, 10, 10, 11, 9, 10, 10, 10, 500.0]]
+    rows += [("b", float(v)) for v in range(100, 120)]   # spread, no outlier
+    rows += [("c", None)]                                 # all-null segment
+    df = spark.createDataFrame(rows, "seg string, v double")
+    suite = ExpectationSuite("z")
+    suite.add("expect_column_value_z_scores_to_be_less_than",
+              column="v", threshold=2.0, double_sided=True, mostly=0.95)
+    seg = {r["group"]: r for r in validate_by_group(df, suite, "seg").collect()}
+    assert seg["a"]["unexpected_count"] >= 1 and not seg["a"]["success"]
+    assert seg["b"]["unexpected_count"] == 0 and seg["b"]["success"]
+    # all-null segment: vacuous success, missing == element_count
+    assert seg["c"]["success"] and seg["c"]["missing_count"] == 1
+    # runner parity on each filtered segment (two-wave literal path)
+    for g in ("a", "b"):
+        r = validate(df.filter(F.col("seg") == g), suite).results[0]
+        assert seg[g]["success"] == r.success
+        assert seg[g]["unexpected_count"] == r.result["unexpected_count"]
+
+
+def test_zscore_with_row_condition_still_rejected(spark, seg_df):
+    suite = ExpectationSuite("zrc")
+    suite.add("expect_column_value_z_scores_to_be_less_than",
+              column="v", threshold=2.0, row_condition="k > 0")
     with pytest.raises(ValueError, match="not segmentable"):
         validate_by_group(seg_df, suite, "seg")
+
+
+def test_segmented_violations_sink(spark, tmp_path):
+    """violations_path round-trip: every failing row lands as
+    (group, index cols, expectation, observed_value) parquet — map,
+    two-wave, and uniqueness kinds; row counts equal unexpected counts."""
+    rows = [("a", i, float(v)) for i, v in enumerate(
+        [10, 10, 10, 11, 9, 10, 10, 10, 500])]
+    rows += [("b", i, float(100 + i)) for i in range(20)]
+    rows += [("b", 0, None)]                       # duplicate id 0 in b
+    df = spark.createDataFrame(rows, "seg string, id int, v double")
+    suite = ExpectationSuite("vs")
+    suite.add("expect_column_values_to_be_between", column="v",
+              min_value=0.0, max_value=200.0, mostly=0.5)
+    suite.add("expect_column_value_z_scores_to_be_less_than",
+              column="v", threshold=2.0, mostly=0.95)
+    suite.add("expect_column_values_to_be_unique", column="id")
+    vpath = str(tmp_path / "viol")
+    out = {
+        (r["group"], r["expectation_type"]): r
+        for r in validate_by_group(
+            df, suite, "seg", violations_path=vpath,
+            unexpected_index_column_names=["id"],
+        ).collect()
+    }
+    viol = spark.read.parquet(vpath)
+    assert set(viol.columns) == {"group", "id", "expectation",
+                                 "observed_value"}
+    got = {
+        (r["group"], r["expectation"]): r["cnt"]
+        for r in viol.groupBy("group", "expectation")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for (g, et), r in out.items():
+        if r["unexpected_count"]:
+            assert got.get((g, et)) == r["unexpected_count"], (g, et)
+    # nothing failing is absent from the sink, nothing passing is in it
+    assert sum(got.values()) == sum(
+        r["unexpected_count"] for r in out.values()
+    )
+    # the between violation carries the offending value for triage
+    bv = viol.filter(
+        (F.col("expectation") == "expect_column_values_to_be_between")
+    ).collect()
+    assert [r["observed_value"] for r in bv] == ["500.0"]
+    assert [r["id"] for r in bv] == [8]
 
 
 def test_null_segment_group_is_null_not_sentinel(spark):
