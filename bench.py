@@ -25,7 +25,9 @@ Environment:
     SPARK_GRAFT_SF_DIR  parquet dir   (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[N]      (default 32)
     BENCH_TURNS         transcript rows override (default 2_000_000 * sf * 10)
-    BENCH_SWEEPS        interleaved full-set sweeps, min per query (default 5)
+    BENCH_SWEEPS        minimum recorded interleaved sweeps (default 5)
+    BENCH_WARMUP        discarded warm-up sweeps before recording (default 1)
+    BENCH_MAX_SWEEPS    convergence-extension cap (default BENCH_SWEEPS + 4)
 
 Noise protocol (round 4): queries run as INTERLEAVED sweeps — the whole set
 once per sweep, BENCH_SWEEPS times, per-query min reported and the raw
@@ -33,6 +35,13 @@ per-sweep sample lists published in the JSON (``samples``). A host noise
 burst then costs one sweep of every query instead of every sample of one
 query, making round-over-round deltas attributable (BENCH/BASELINE.md
 measured 2.6x spread on identical configs with the old back-to-back form).
+
+Convergence stop (round 5): one discarded warm-up sweep absorbs JIT /
+shuffle-service / page-cache warm-up (round 4's suite_transcripts samples
+were still strictly decreasing at sweep 5, so its recorded min was a
+warm-up artifact, not a converged figure), then recording continues PAST
+BENCH_SWEEPS — up to BENCH_MAX_SWEEPS — until the latest sweep improved no
+query's running min by ≥5%. The JSON publishes ``sweeps`` actually run.
 """
 
 from __future__ import annotations
@@ -440,21 +449,46 @@ def main() -> None:
     # per-sweep sample lists so any residual drift is attributable.
     n_sweeps = max(1, int(os.environ.get("BENCH_SWEEPS",
                                          os.environ.get("BENCH_REPEAT", "5"))))
+    max_sweeps = max(n_sweeps, int(os.environ.get("BENCH_MAX_SWEEPS",
+                                                  str(n_sweeps + 4))))
+    warmup = max(0, int(os.environ.get("BENCH_WARMUP", "1")))
 
     samples: dict[str, list[float]] = {name: [] for name in queries}
     extras: dict[str, dict] = {}
     failed: set[str] = set()
-    for _sweep in range(n_sweeps):
+
+    def one_sweep(record: bool) -> None:
         for name, fn in queries.items():
             if name in failed:
                 continue
             t0 = time.monotonic()
             try:
                 extras[name] = fn(spark)
-                samples[name].append(round(time.monotonic() - t0, 3))
+                if record:
+                    samples[name].append(round(time.monotonic() - t0, 3))
             except Exception as exc:  # noqa: BLE001 — report, don't die
                 failed.add(name)
                 extras[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    for _ in range(warmup):
+        one_sweep(record=False)
+
+    # convergence stop: at least n_sweeps recorded, then keep sweeping while
+    # the latest sweep still lowered any query's running min by ≥5% (the
+    # running min has not flattened), capped at max_sweeps
+    sweeps_run = 0
+    while sweeps_run < max_sweeps:
+        prev_min = {n: min(s) for n, s in samples.items() if s}
+        one_sweep(record=True)
+        sweeps_run += 1
+        if sweeps_run < n_sweeps:
+            continue
+        improved = any(
+            s and n in prev_min and min(s) < prev_min[n] * 0.95
+            for n, s in samples.items()
+        )
+        if not improved:
+            break
 
     timings = {
         name: (min(s) if s else -1.0) for name, s in samples.items()
@@ -471,7 +505,12 @@ def main() -> None:
         "effective_cores": EFFECTIVE_CORES,
         "transcript_turns": N_TURNS,
         "turns_per_sec": round(N_TURNS / suite_s, 1) if suite_s and suite_s > 0 else None,
-        "protocol": f"interleaved sweeps x{n_sweeps}, per-query min, single JVM",
+        "protocol": (
+            f"interleaved sweeps (warmup {warmup} discarded, {sweeps_run} "
+            f"recorded, converge-until-min-flat<5% cap {max_sweeps}), "
+            "per-query min, single JVM"
+        ),
+        "sweeps": sweeps_run,
         "samples": samples,
         "extras": extras,
     }
