@@ -379,10 +379,33 @@ def q_segmented_suite(spark: SparkSession) -> dict:
 
 def q_pii_scan(spark: SparkSession) -> dict:
     """Map-only PII scan + Luhn HOF + redaction over documents — tracks
-    the per-row regexp/codegen cost (round 4; operators/pii.py)."""
+    the per-row regexp/codegen cost (round 4; operators/pii.py).
+
+    Round 5: PII is planted into ~2% of docs (one snippet per class,
+    deterministic by doc_id hash) so the measured cost includes the
+    match + redaction path, not just the clean-text scan — `flagged` in
+    extras must be nonzero. Quality rates: BENCH/PII_QUALITY.md."""
     from great_expectations_spark.operators.pii import redact_pii, scan_pii
 
     docs = _load(spark, "documents")
+    snippets = F.array(
+        F.lit(" reach me at alice.smith@example.org"),
+        F.lit(" card 4111 1111 1111 1111 on file"),
+        F.lit(" origin ip 192.168.1.1 logged"),
+        F.lit(" ssn 123-45-6789 redacted later"),
+        F.lit(" call (415) 555-2671 after 5"),
+    )
+    # class chosen by an independent hash — pmod(h,50)==0 forces
+    # pmod(h,5)==0, so reusing h would plant only the first class
+    cls = F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(5))
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("doc_id"), F.lit(50)) == 0,
+            F.concat(F.col("text"),
+                     F.element_at(snippets, (cls + 1).cast("int"))),
+        ).otherwise(F.col("text")),
+    )
     scanned = scan_pii(docs, "text")
     row = scanned.agg(
         F.count(F.lit(1)).alias("docs"),
