@@ -86,6 +86,24 @@ EVR_ROW_SCHEMA = StructType(
     ]
 )
 
+#: per-(partition × segment × expectation) counters — the segmented-mode
+#: twin of EVR_ROW_SCHEMA (``Checkpoint.run(segment_col=...)``). Counts add
+#: across partitions per segment, so the suite-level per-segment verdict is
+#: re-derivable from a resumed run exactly like the whole-partition one.
+SEGMENT_EVR_ROW_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", StringType()),
+        StructField("segment", StringType()),
+        StructField("expectation_type", StringType()),
+        StructField("success", BooleanType()),
+        StructField("element_count", LongType()),
+        StructField("missing_count", LongType()),
+        StructField("unexpected_count", LongType()),
+        StructField("observed_value", StringType()),
+    ]
+)
+
 
 def check_partitioned_layout(
     spark: SparkSession, path: str, stale_prefix: str, expected: str
@@ -135,6 +153,11 @@ class PartitionRunRecord:
     #: for status="skipped": the manifest-recorded verdict of the run that
     #: validated this partition (None if the manifest predates this field)
     manifest_success: bool | None = None
+    #: segmented mode: number of segments validated in this partition, and
+    #: the partition verdict (all segments passed) — ``result`` stays None
+    #: because segmented runs emit per-segment rows, not one suite result
+    segments: int = 0
+    segmented_success: bool | None = None
 
 
 @dataclass
@@ -161,6 +184,8 @@ class CheckpointRunResult:
             if r.result is not None:
                 if not r.result.success:
                     return False
+            elif r.segmented_success is False:
+                return False
             elif r.status == "skipped" and r.manifest_success is False:
                 return False
         return True
@@ -292,6 +317,30 @@ class Checkpoint:
             "append"
         ).parquet(self.evr_path)
 
+    def _append_segment_evrs(self, run_id: str, partition_id: str,
+                             seg_rows: list) -> None:
+        """Segmented-mode EVR append: one row per (segment × expectation),
+        already driver-local (validate_by_group collects its counters)."""
+        if not self.evr_path:
+            return
+        rows = [
+            {
+                "run_id": run_id,
+                "partition_id": partition_id,
+                "segment": r["group"],
+                "expectation_type": r["expectation_type"],
+                "success": bool(r["success"]),
+                "element_count": int(r["element_count"] or 0),
+                "missing_count": int(r["missing_count"] or 0),
+                "unexpected_count": int(r["unexpected_count"] or 0),
+                "observed_value": r["observed_value"],
+            }
+            for r in seg_rows
+        ]
+        self.spark.createDataFrame(
+            rows, SEGMENT_EVR_ROW_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(self.evr_path)
+
     # ------------------------------------------------------------------- run
     def run(
         self,
@@ -302,6 +351,8 @@ class Checkpoint:
         partition_values: list[Any] | None = None,
         fail_partition: Any = None,
         max_concurrent_partitions: int = 1,
+        segment_col: str | None = None,
+        segment_max_groups: int = 100_000,
     ) -> CheckpointRunResult:
         """Validate ``df`` partition-by-partition, resuming from the manifest.
 
@@ -317,6 +368,20 @@ class Checkpoint:
         writer at a time avoids committer staging races); a partition's
         manifest row still commits only after its validation finished, so
         resume semantics are identical to the sequential path.
+
+        ``segment_col`` switches each partition's validation to
+        :func:`~great_expectations_spark.segmented.validate_by_group`:
+        the suite is evaluated once per distinct segment value WITHIN each
+        partition (one bundled groupBy per partition, not one scan per
+        segment), EVR rows land in ``evr_path`` under
+        :data:`SEGMENT_EVR_ROW_SCHEMA` (an extra ``segment`` column — use a
+        fresh path, not a whole-partition EVR store; guarded), and the
+        manifest/resume semantics are unchanged: kill/resume re-runs at
+        most the one in-flight partition, and per-segment suite-level
+        verdicts merge across partitions via
+        :meth:`merged_segment_verdicts`. The suite hash is salted with the
+        segment column so segmented and whole-partition runs of the same
+        suite never cross-skip each other.
         """
         if self.violations_path is not None:
             # refuse to append partition_id=<pid>/expectation=… under a root
@@ -328,6 +393,26 @@ class Checkpoint:
                 expected="partition_id=<pid>/expectation=<type>/",
             )
         shash = suite_hash(suite)
+        if segment_col is not None:
+            shash = hashlib.sha256(
+                f"{shash}|segmented:{segment_col}".encode()
+            ).hexdigest()[:16]
+            if self.evr_path:
+                # a whole-partition EVR store has no `segment` column;
+                # appending the segmented shape into it would silently
+                # null-fill one side on read — refuse instead
+                try:
+                    existing = set(
+                        self.spark.read.parquet(self.evr_path).columns
+                    )
+                except Exception:  # noqa: BLE001 — first run: no store yet
+                    existing = None
+                if existing is not None and "segment" not in existing:
+                    raise ValueError(
+                        f"evr_path {self.evr_path!r} holds whole-partition "
+                        "EVR rows (no `segment` column); segmented runs "
+                        "need their own EVR store path"
+                    )
         done = self.completed_partitions(shash)
         if partition_values is None:
             partition_values = sorted(
@@ -356,12 +441,61 @@ class Checkpoint:
                 vpath = os.path.join(
                     vpath, f"partition_id={urllib.parse.quote(pid, safe='')}"
                 )
-            runner = SuiteRunner(
-                self.spark, violations_path=vpath, **self.runner_kwargs
-            )
             # Catalyst partition-prunes this filter when partition_col is a
             # physical partition column of the source (Iceberg / dir-parquet).
             pdf = df.filter(F.col(partition_col) == F.lit(pv))
+
+            if segment_col is not None:
+                from great_expectations_spark.segmented import (
+                    validate_by_group,
+                )
+
+                seg_rows = validate_by_group(
+                    pdf, suite, segment_col,
+                    max_groups=segment_max_groups,
+                    violations_path=vpath,
+                    unexpected_index_column_names=self.runner_kwargs.get(
+                        "unexpected_index_column_names"
+                    ),
+                ).collect()
+                elapsed = time.monotonic() - t0
+                per_seg_ec: dict[Any, int] = {}
+                violations = 0
+                for r in seg_rows:
+                    per_seg_ec[r["group"]] = max(
+                        per_seg_ec.get(r["group"], 0),
+                        int(r["element_count"] or 0),
+                    )
+                    violations += int(r["unexpected_count"] or 0)
+                ok = all(bool(r["success"]) for r in seg_rows)
+                rows_scanned = sum(per_seg_ec.values())
+                with write_lock:
+                    self._append_segment_evrs(run_id, pid, seg_rows)
+                    self._append_manifest(
+                        {
+                            "run_id": run_id,
+                            "partition_id": pid,
+                            "status": "validated",
+                            "suite_hash": shash,
+                            "rows_scanned": rows_scanned,
+                            "violations": violations,
+                            "elapsed_s": elapsed,
+                            "success": ok,
+                        }
+                    )
+                return PartitionRunRecord(
+                    partition_id=pid,
+                    status="validated",
+                    rows_scanned=rows_scanned,
+                    violations=violations,
+                    elapsed_s=elapsed,
+                    segments=len(per_seg_ec),
+                    segmented_success=ok,
+                )
+
+            runner = SuiteRunner(
+                self.spark, violations_path=vpath, **self.runner_kwargs
+            )
             result = runner.validate(pdf, suite)
             elapsed = time.monotonic() - t0
 
@@ -446,4 +580,28 @@ class Checkpoint:
                 ),
             )
             .orderBy("expectation_type")
+        )
+
+    def merged_segment_verdicts(self) -> DataFrame:
+        """Per-(segment × expectation_type) merged counters from a
+        segmented-mode EVR store: counts add across partitions, so a
+        resumed multi-partition run re-derives the same per-segment
+        suite-level numbers a single whole-table ``validate_by_group``
+        produces (tests assert the equivalence)."""
+        if self.evr_path is None:
+            raise ValueError("Checkpoint was created without evr_path")
+        evrs = self.spark.read.schema(SEGMENT_EVR_ROW_SCHEMA).parquet(
+            self.evr_path
+        )
+        return (
+            evrs.groupBy("segment", "expectation_type")
+            .agg(
+                F.sum("element_count").alias("element_count"),
+                F.sum("missing_count").alias("missing_count"),
+                F.sum("unexpected_count").alias("unexpected_count"),
+                F.min(F.col("success").cast("int")).cast("boolean").alias(
+                    "all_partitions_success"
+                ),
+            )
+            .orderBy("segment", "expectation_type")
         )

@@ -205,3 +205,91 @@ def test_resumed_run_reports_failed_skipped_partitions(spark, tmp_path, tdf):
     assert len(resumed.skipped) == 3
     assert all(r.manifest_success is False for r in resumed.skipped)
     assert resumed.success is False
+
+
+# ---------------------------------------------------------------- segmented
+
+
+@pytest.fixture()
+def seg_suite():
+    s = ExpectationSuite("seg-ckpt")
+    s.add("expect_column_values_to_not_be_null", column="text", mostly=0.5)
+    s.add("expect_column_values_to_be_unique", column="conv_id")
+    return s
+
+
+def test_segmented_checkpoint_kill_resume_equals_single_run(
+    spark, tmp_path, seg_suite, tdf
+):
+    """Kill/resume WITH segments (round 5): a killed segmented run resumes
+    at partition granularity, and the merged per-segment verdicts from the
+    resumed EVR store equal a single whole-table validate_by_group."""
+    from great_expectations_spark import validate_by_group
+
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        ck.run(tdf, seg_suite, run_id="r1", partition_col="day",
+               segment_col="role", fail_partition="2025-01-03")
+
+    r2 = ck.run(tdf, seg_suite, run_id="r2", partition_col="day",
+                segment_col="role")
+    assert len(r2.skipped) == 2
+    assert [r.partition_id for r in r2.validated] == ["2025-01-03"]
+    assert all(r.segments == 1 for r in r2.validated)  # one role value
+
+    merged = {
+        (r["segment"], r["expectation_type"]): r
+        for r in ck.merged_segment_verdicts().collect()
+    }
+    single = {
+        (r["group"], r["expectation_type"]): r
+        for r in validate_by_group(tdf, seg_suite, "role").collect()
+    }
+    assert set(merged) == set(single)
+    for k, m in merged.items():
+        s = single[k]
+        assert m["element_count"] == s["element_count"], k
+        assert m["missing_count"] == s["missing_count"], k
+        # conv_id repeats across days WITHIN a partition only (ids embed
+        # the day), so per-partition unexpected counts add cleanly here
+        assert m["unexpected_count"] == s["unexpected_count"], k
+
+
+def test_segmented_and_whole_runs_never_cross_skip(spark, tmp_path, suite,
+                                                   tdf):
+    """The suite hash is salted with the segment column: a finished
+    whole-partition run must NOT mark the segmented run's partitions done
+    (and vice versa)."""
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"))
+    ck.run(tdf, suite, run_id="r1", partition_col="day")
+    r2 = ck.run(tdf, suite, run_id="r2", partition_col="day",
+                segment_col="role")
+    assert len(r2.validated) == 3 and not r2.skipped
+
+
+def test_segmented_refuses_whole_partition_evr_store(spark, tmp_path, suite,
+                                                     tdf):
+    """Appending segmented rows (extra `segment` column) into a
+    whole-partition EVR store would null-fill on read — must raise."""
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    ck.run(tdf, suite, run_id="r1", partition_col="day")
+    with pytest.raises(ValueError, match="segment"):
+        ck.run(tdf, suite, run_id="r2", partition_col="day",
+               segment_col="role")
+
+
+def test_segmented_checkpoint_failure_verdict(spark, tmp_path, tdf):
+    """A failing segment fails its partition's manifest row AND the run
+    verdict — including on resume (skipped partitions keep their recorded
+    failure)."""
+    s = ExpectationSuite("failing")
+    s.add("expect_column_values_to_not_be_null", column="text")  # 1 null/day
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    r1 = ck.run(tdf, s, run_id="r1", partition_col="day", segment_col="role")
+    assert not r1.success
+    assert all(r.segmented_success is False for r in r1.validated)
+    r2 = ck.run(tdf, s, run_id="r2", partition_col="day", segment_col="role")
+    assert len(r2.skipped) == 3 and not r2.success

@@ -94,12 +94,45 @@ def main(argv: list[str]) -> int:
     index_cols = [c for c in args.index_cols.split(",") if c]
     run_id = args.run_id or f"run-{uuid.uuid4().hex[:12]}"
 
+    if args.segment_col and args.partition_col:
+        # checkpointed segmented mode (round 5): the suite runs once per
+        # segment WITHIN each partition, per-(partition × segment) EVR rows
+        # land in --evr (segmented store, extra `segment` column), and the
+        # manifest makes the run kill/resumable at partition granularity
+        ckpt = Checkpoint(
+            spark,
+            manifest_path=args.manifest,
+            evr_path=args.evr,
+            violations_path=args.violations,
+            tables=tables,
+            unexpected_index_column_names=index_cols,
+        )
+        res = ckpt.run(
+            df, suite, run_id=run_id, partition_col=args.partition_col,
+            segment_col=args.segment_col,
+            segment_max_groups=args.segment_max_groups,
+        )
+        print(json.dumps({
+            "run_id": run_id,
+            "mode": "segmented-checkpoint",
+            "partitions_validated": len(res.validated),
+            "partitions_skipped": len(res.skipped),
+            "segments_per_partition": {
+                r.partition_id: r.segments for r in res.validated
+            },
+            "success": res.success,
+            "manifest": args.manifest,
+            "evr": args.evr,
+        }))
+        return 0 if res.success else 1
+
     if args.segment_col:
-        if args.partition_col or args.evr or args.violations:
-            print("--segment-col is its own mode: it writes per-segment "
-                  "EVR rows to --segment-out, not the checkpoint "
-                  "stores — drop --partition-col/--evr/--violations or "
-                  "run them as a separate invocation", file=sys.stderr)
+        if args.evr or args.violations:
+            print("--segment-col without --partition-col is the one-shot "
+                  "mode: it writes per-segment EVR rows to --segment-out, "
+                  "not the checkpoint stores — add --partition-col for the "
+                  "resumable segmented checkpoint, or drop "
+                  "--evr/--violations", file=sys.stderr)
             return 2
         from great_expectations_spark import validate_by_group
 
