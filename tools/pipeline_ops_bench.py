@@ -240,8 +240,8 @@ def main() -> None:
         "## Interpretation",
         "",
         "- **The north_rule ≥0.8 gate applies to the full constraint-suite "
-        "run**, recorded at 0.851 (16M turns) / 0.807 (re-recorded round 3) "
-        "in `BENCH/BASELINE.md`. This file records the EXTENSION curation "
+        "run**, recorded at 0.88 pooled at 64M turns in "
+        "`BENCH/BASELINE.md`. This file records the EXTENSION curation "
         "ops, whose per-core cost is dominated by hash-agg probing and "
         "scan+explode — i.e. memory traffic.",
         "- The curation ops' efficiency now sits AT or ABOVE the measured "
@@ -256,9 +256,12 @@ def main() -> None:
         "`tools/pipeline_ops_bench.py`.",
         "- History (same protocol): pre-round-3-optimization operators "
         "measured contamination 12.4 s / 7.2 s and SHUFFLE-strategy "
-        "repetition 47.1 s / 33.3 s on this corpus; the tokenize-once + "
-        "rowlocal + token-hash-gram fixes improved repetition ~3.4-5× and "
-        "contamination ~1.3-1.5×.",
+        "repetition 47.1 s / 33.3 s on the 2M-doc version of this corpus; "
+        "the tokenize-once + rowlocal + token-hash-gram fixes improved "
+        "repetition ~3.4-5× and contamination ~1.3-1.5×. The round-4 "
+        "record at 500k docs (fixed-floor regime: scan_probe 0.19-0.39 s) "
+        "measured contaminated 8.46/4.06 s eff 0.521, repetition "
+        "14.31/6.22 s eff 0.575, scan_probe ceiling 0.508.",
     ]
     out = os.path.join(REPO, "BENCH", "PIPELINE_OPS.md")
     with open(out, "w") as f:
