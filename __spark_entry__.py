@@ -562,6 +562,20 @@ def q_segment_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
               mostly=0.8)
     suite.add("expect_column_most_common_value_to_be_in_set",
               column="l_linenumber", value_set=[1])
+    # round 5 (second pass): window-backed conditions re-windowed per
+    # segment (lag never crosses a (segment, l_orderkey) boundary) and
+    # row_condition on aggregates via ONE filtered sub-pass per distinct rc
+    # composite order_by: the synthetic lineitem has duplicate
+    # (l_orderkey, l_linenumber) keys, so (key, value) ordering is what
+    # makes the lag sequence deterministic for the oracle replay
+    suite.add("expect_column_values_to_be_increasing",
+              column="l_extendedprice", strictly=True,
+              partition_by="l_orderkey",
+              order_by=["l_linenumber", "l_extendedprice"],
+              mostly=0.5)
+    suite.add("expect_column_mean_to_be_between", column="l_quantity",
+              min_value=1.0, max_value=50.0,
+              row_condition="l_linenumber > 2")
     out = validate_by_group(li, suite, "l_returnflag")
     return out.select(
         F.col("group").alias("seg"), "expectation_type", "success",
@@ -1389,7 +1403,11 @@ def _segment_validation_oracle() -> str:
     mean/stddev_samp joined back per row; NULL/zero stddev makes every
     non-null row unexpected — coalesce(success,false) parity), and
     most_common_value (modes with ties; strict = exactly one mode, in the
-    set) — calc_map_success semantics inline."""
+    set), per-segment windowed increasing (lag over (seg, l_orderkey)
+    ordered by l_linenumber — first row of a window, or one following a
+    NULL value, is vacuously in order), and a row_condition aggregate
+    (mean over the filtered domain only; element_count = domain rows) —
+    calc_map_success semantics inline."""
     return (
         "WITH g AS (SELECT l_returnflag AS seg, count(*) AS ec, "
         "sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS miss_b, "
@@ -1413,7 +1431,18 @@ def _segment_validation_oracle() -> str:
         "vm AS (SELECT seg, max(c) AS mc FROM v GROUP BY 1), "
         "m AS (SELECT v.seg, count(*) AS nmodes, "
         "bool_and(v.val = 1) AS allin FROM v JOIN vm "
-        "ON v.seg = vm.seg AND v.c = vm.mc GROUP BY 1) "
+        "ON v.seg = vm.seg AND v.c = vm.mc GROUP BY 1), "
+        "wl AS (SELECT l_returnflag AS seg, l_extendedprice AS wv, "
+        "lag(l_extendedprice) OVER (PARTITION BY l_returnflag, l_orderkey "
+        "ORDER BY l_linenumber, l_extendedprice) AS prev FROM lineitem), "
+        "w AS (SELECT seg, count(*) AS ecw, "
+        "sum(CASE WHEN wv IS NULL THEN 1 ELSE 0 END) AS miss_w, "
+        "sum(CASE WHEN wv IS NOT NULL AND NOT (CASE WHEN prev IS NULL "
+        "THEN true ELSE wv > prev END) THEN 1 ELSE 0 END) AS ux_w "
+        "FROM wl GROUP BY 1), "
+        "rca AS (SELECT l_returnflag AS seg, count(*) AS ecr, "
+        "avg(l_quantity) AS mq FROM lineitem WHERE l_linenumber > 2 "
+        "GROUP BY 1) "
         "SELECT seg, 'expect_column_values_to_be_between' "
         "AS expectation_type, "
         "(CASE WHEN ec - miss_b = 0 THEN true ELSE "
@@ -1440,7 +1469,15 @@ def _segment_validation_oracle() -> str:
         "'expect_column_most_common_value_to_be_in_set', "
         "(m.nmodes = 1 AND m.allin), CAST(ec AS BIGINT), "
         "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM g JOIN m "
-        "ON g.seg = m.seg"
+        "ON g.seg = m.seg "
+        "UNION ALL SELECT seg, 'expect_column_values_to_be_increasing', "
+        "(CASE WHEN ecw - miss_w = 0 THEN true ELSE "
+        "(CAST(ecw - miss_w - ux_w AS DOUBLE) / (ecw - miss_w)) >= 0.5 "
+        "END), CAST(ecw AS BIGINT), CAST(miss_w AS BIGINT), "
+        "CAST(ux_w AS BIGINT) FROM w "
+        "UNION ALL SELECT seg, 'expect_column_mean_to_be_between', "
+        "mq >= 1.0 AND mq <= 50.0, CAST(ecr AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM rca"
     )
 
 

@@ -587,7 +587,15 @@ class Checkpoint:
         segmented-mode EVR store: counts add across partitions, so a
         resumed multi-partition run re-derives the same per-segment
         suite-level numbers a single whole-table ``validate_by_group``
-        produces (tests assert the equivalence)."""
+        produces (tests assert the equivalence).
+
+        Exactness caveat (inherent to per-partition validation, not to
+        the merge): map/aggregate counters add exactly; uniqueness and
+        window (increasing/decreasing) counters add exactly ONLY when the
+        checkpoint's partition column does not split a key group — a
+        duplicate pair or a lag window straddling two partitions is
+        counted per partition, which is the declared semantics of
+        partition-granularity validation everywhere in this engine."""
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
         evrs = self.spark.read.schema(SEGMENT_EVR_ROW_SCHEMA).parquet(

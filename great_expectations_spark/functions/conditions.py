@@ -505,7 +505,7 @@ def increasing(
     column: str,
     strictly: bool = False,
     partition_by: str | list[str] | None = None,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
     **_: Any,
 ) -> MapCondition:
     """column_values.increasing — reference Spark uses a global
@@ -521,7 +521,7 @@ def decreasing(
     column: str,
     strictly: bool = False,
     partition_by: str | list[str] | None = None,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
     **_: Any,
 ) -> MapCondition:
     return _monotone(column, strictly, partition_by, order_by, decreasing=True)
@@ -531,7 +531,7 @@ def _monotone(
     column: str,
     strictly: bool,
     partition_by: str | list[str] | None,
-    order_by: str | None,
+    order_by: str | list[str] | None,
     decreasing: bool,
 ) -> MapCondition:
     from pyspark.sql import Window
@@ -552,7 +552,15 @@ def _monotone(
             stacklevel=3,
         )
         w = Window.partitionBy()
-    w = w.orderBy(order_by if order_by else F.monotonically_increasing_id())
+    if order_by:
+        # multi-column order_by is the determinism lever when the leading
+        # sort key has duplicates: (key, value) ordering makes the value
+        # SEQUENCE unique even when key ties would otherwise let the
+        # engine pick an arbitrary (run-varying) tie order
+        obs = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = w.orderBy(*obs)
+    else:
+        w = w.orderBy(F.monotonically_increasing_id())
     prev = F.lag(c).over(w)
     if decreasing:
         cmp = (c < prev) if strictly else (c <= prev)

@@ -11,21 +11,36 @@ keyed pass per uniqueness expectation), so a 10,000-segment quality
 report costs the same scan count as a single-segment one.
 
 Supported expectation kinds: map conditions (not-null/in-set/between/
-regex/PII/... — anything without window dependencies; ``row_condition``
-is honored by folding the condition into the per-segment counters),
-two-wave map conditions (z-score: wave 1 computes per-segment
-mean/stddev inside the same bundled groupBy, wave 2 broadcast-joins the
-tiny per-segment stats back onto the batch and counts — two shuffles
-total, still one scan per wave, for every segment at once), scalar
-aggregates (mean/stddev/min/max/sum/median/row-count/correlation
-bounds), value-counts-backed aggregates (most_common_value — one shared
-keyed pass per distinct column, modes-with-ties via a broadcast
-max-join, never a per-segment collect_list of all distinct values), and
-single/compound uniqueness. Window-backed, relational, query, meta, and
-aggregates/uniques/two-wave maps carrying a ``row_condition`` raise a
-``ValueError`` naming the offender (``strict=False`` skips them) —
-their semantics need their own pass; run them through ``SuiteRunner``
-instead.
+regex/PII/... — ``row_condition`` is honored by folding the condition
+into the per-segment counters), two-wave map conditions (z-score:
+wave 1 computes per-segment mean/stddev inside the same bundled
+groupBy, wave 2 broadcast-joins the tiny per-segment stats back onto
+the batch and counts — two shuffles total, still one scan per wave,
+for every segment at once), scalar aggregates (mean/stddev/min/max/
+sum/median/row-count/correlation bounds), value-counts-backed
+aggregates (most_common_value — one shared keyed pass per distinct
+column, modes-with-ties via a broadcast max-join, never a per-segment
+collect_list of all distinct values), single/compound uniqueness, and
+window-backed conditions (increasing/decreasing: the condition is
+recompiled with the segment column PREPENDED to its window keys, so
+one window pass + one groupBy covers every segment at once — the
+filtered-run semantics of "validate each segment separately" without
+N scans; a user ``partition_by=None`` global window becomes a
+per-segment window, which is exactly what a per-segment run computes).
+
+``row_condition`` on aggregates, uniqueness, and two-wave conditions
+runs as ONE extra bundled sub-pass per DISTINCT ``row_condition``
+(mirroring ``SuiteRunner``'s domain groups, which evaluate over
+``df.filter(row_condition)``): k distinct conditions cost k+1 scans
+for ALL segments, vs. the reference's (segments × conditions) filtered
+runs. Rows for those expectations appear only for segments with at
+least one row inside the ``row_condition`` domain — a segment entirely
+outside the domain has no EVR row, the same way a filtered
+``SuiteRunner`` batch never sees it.
+
+Relational, query, and meta kinds raise a ``ValueError`` naming the
+offender (``strict=False`` skips them) — their semantics need their
+own pass; run them through ``SuiteRunner`` instead.
 
 Violations sink: pass ``violations_path`` (plus
 ``unexpected_index_column_names``) to append every failing row as
@@ -52,13 +67,44 @@ from great_expectations_spark.registry import (
     compile_expectation,
 )
 from great_expectations_spark.result import calc_map_success
-from great_expectations_spark.suite import ExpectationSuite
+from great_expectations_spark.suite import (
+    ExpectationConfiguration,
+    ExpectationSuite,
+)
 
 RESULT_SCHEMA = (
     "group string, expectation_type string, success boolean, "
     "element_count long, missing_count long, unexpected_count long, "
     "observed_value string"
 )
+
+
+def _window_recompiled(
+    cfg: ExpectationConfiguration, group_by: str, index_cols: list[str]
+) -> ExpectationConfiguration:
+    """A window-backed config re-keyed per segment: the segment column is
+    PREPENDED to ``partition_by``, so lag/lead never crosses a segment
+    boundary — windowing the full frame by ``(segment, *keys)`` computes
+    exactly what a per-segment filtered run windowed by ``keys`` would.
+
+    Mirrors ``SuiteRunner._default_monotone_windows``: an absent
+    ``partition_by`` defaults to the caller's index columns (minus the
+    target column); an explicit ``partition_by=None`` — the runner's
+    scale-hazardous GLOBAL window — becomes the per-segment window here,
+    which is precisely the global window of each segment's filtered run.
+    ``row_condition`` is dropped from the kwargs because the window pass
+    applies it by filtering its base frame (SuiteRunner domain-group
+    semantics: the window only ever sees in-domain rows)."""
+    kw = {k: v for k, v in cfg.kwargs.items() if k != "row_condition"}
+    if "partition_by" not in kw:
+        keys = [c for c in index_cols if c != kw.get("column")]
+        kw["partition_by"] = keys or None
+    pb = kw["partition_by"]
+    keys = [pb] if isinstance(pb, str) else list(pb or [])
+    kw["partition_by"] = [group_by] + [k for k in keys if k != group_by]
+    return ExpectationConfiguration(
+        expectation_type=cfg.expectation_type, kwargs=kw, meta=cfg.meta
+    )
 
 
 def validate_by_group(
@@ -82,6 +128,8 @@ def validate_by_group(
     aggs: list[tuple[int, CompiledAgg]] = []
     vc_aggs: list[tuple[int, CompiledAgg, str]] = []
     uniqs: list[CompiledUnique] = []
+    win_maps: list[tuple[int, Any, CompiledMap, str | None]] = []
+    rc_deferred: dict[str, list[Any]] = {}
 
     def _reject(cfg, why: str) -> None:
         if strict:
@@ -94,15 +142,16 @@ def validate_by_group(
         comp = compile_expectation(cfg)
         rc = cfg.kwargs.get("row_condition")
         if isinstance(comp, CompiledMap) and comp.condition.needs_window:
-            _reject(cfg, "window-backed conditions need their own "
-                         "per-segment ordering pass")
+            # re-windowed per segment below; row_condition shrinks the
+            # window pass's base frame exactly as SuiteRunner's domain
+            # groups do
+            win_maps.append((i, cfg, comp, rc))
         elif isinstance(comp, CompiledMap) and comp.condition.requires:
             if comp.condition.rebuild_expr is None:
                 _reject(cfg, "its two-wave condition has no column-deps "
                              "form (rebuild_expr)")
             elif rc is not None:
-                _reject(cfg, "row_condition on a two-wave condition needs "
-                             "its own filtered pass")
+                rc_deferred.setdefault(rc, []).append(cfg)
             else:
                 dep_maps.append((i, comp))
         elif isinstance(comp, CompiledMap):
@@ -110,8 +159,7 @@ def validate_by_group(
         elif isinstance(comp, CompiledAgg):
             vc_col = getattr(comp.metric, "groupby_value_counts", None)
             if rc is not None:
-                _reject(cfg, "row_condition on an aggregate needs its own "
-                             "filtered pass")
+                rc_deferred.setdefault(rc, []).append(cfg)
             elif vc_col is not None:
                 vc_aggs.append((i, comp, vc_col))
             elif not comp.metric.exprs:
@@ -121,8 +169,7 @@ def validate_by_group(
                 aggs.append((i, comp))
         elif isinstance(comp, CompiledUnique):
             if rc is not None:
-                _reject(cfg, "row_condition on a uniqueness check needs "
-                             "its own filtered pass")
+                rc_deferred.setdefault(rc, []).append(cfg)
             else:
                 uniqs.append(comp)
         else:
@@ -397,6 +444,53 @@ def validate_by_group(
                 )
             )
 
+    # ---- one window pass per distinct row_condition: monotone conditions
+    # recompiled with the segment prepended to their window keys, then ONE
+    # groupBy(segment) over the flag columns — every segment in one job ----
+    if win_maps:
+        by_rc: dict[str | None, list[tuple[int, Any, CompiledMap]]] = {}
+        for i, cfg, comp, rc in win_maps:
+            by_rc.setdefault(rc, []).append((i, cfg, comp))
+        for rc, members in by_rc.items():
+            base = df.filter(F.expr(rc)) if rc is not None else df
+            sel: list[F.Column] = [gcol.alias("__g")]
+            conds: dict[int, Any] = {}
+            for i, cfg, comp in members:
+                cond = compile_expectation(
+                    _window_recompiled(cfg, group_by, index_cols)
+                ).condition
+                conds[i] = cond
+                sel.append(cond.missing.cast("int").alias(f"m_{i}"))
+                sel.append(cond.unexpected.cast("int").alias(f"u_{i}"))
+            seg_counts = (
+                base.select(*sel)
+                .groupBy("__g")
+                .agg(
+                    F.count(F.lit(1)).alias("__ec"),
+                    *[
+                        F.sum(f"{p}_{i}").alias(f"{p}_{i}")
+                        for i, _, _ in members
+                        for p in ("m", "u")
+                    ],
+                )
+            )
+            for row in _capped_collect(seg_counts):
+                ec = int(row["__ec"])
+                for i, cfg, comp in members:
+                    missing = int(row[f"m_{i}"] or 0)
+                    unexpected = int(row[f"u_{i}"] or 0)
+                    ok = calc_map_success(ec, missing, unexpected, comp.mostly)
+                    out.append((
+                        row["__g"], cfg.expectation_type, bool(ok),
+                        ec, missing, unexpected, None,
+                    ))
+            if violations_path:
+                for i, cfg, comp in members:
+                    violation_frames.append(_viol_frame(
+                        gcol, base, conds[i], F.lit(True),
+                        cfg.expectation_type,
+                    ))
+
     # ---- executor-side violations write (same path SuiteRunner uses) ----
     if violations_path and violation_frames:
         vout = violation_frames[0]
@@ -408,4 +502,36 @@ def validate_by_group(
 
     for rel in to_unpersist:
         rel.unpersist()
+
+    # ---- one bundled sub-pass per DISTINCT row_condition: rc-carrying
+    # aggregates / uniqueness / two-wave conditions run over the filtered
+    # frame (SuiteRunner domain-group semantics), all segments at once —
+    # k distinct conditions cost k+1 scans, never segments × conditions ----
+    for rc, cfgs in rc_deferred.items():
+        sub_suite = ExpectationSuite(
+            name=f"{suite.name}::rc",
+            expectations=[
+                ExpectationConfiguration(
+                    expectation_type=c.expectation_type,
+                    kwargs={
+                        k: v for k, v in c.kwargs.items()
+                        if k != "row_condition"
+                    },
+                    meta=c.meta,
+                )
+                for c in cfgs
+            ],
+            meta=suite.meta,
+        )
+        sub = validate_by_group(
+            df.filter(F.expr(rc)), sub_suite, group_by,
+            strict=strict, max_groups=max_groups,
+            violations_path=violations_path,
+            unexpected_index_column_names=unexpected_index_column_names,
+        )
+        # the sub-result is a driver-local relation (built from collected,
+        # max_groups-capped counters) — folding its rows into this call's
+        # keeps the output ONE DataFrame with no recursive union tree
+        out.extend(tuple(r) for r in sub.collect())
+
     return spark.createDataFrame(out, RESULT_SCHEMA)

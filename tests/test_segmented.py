@@ -59,8 +59,8 @@ def test_per_segment_uniqueness(spark):
 
 def test_unsupported_kind_raises_or_skips(spark, seg_df):
     suite = ExpectationSuite("w")
-    suite.add("expect_column_values_to_be_increasing", column="k",
-              partition_by="seg", order_by="k")
+    suite.add("expect_table_row_count_to_equal_other_table",
+              other_table="whatever")
     with pytest.raises(ValueError, match="not segmentable"):
         validate_by_group(seg_df, suite, "seg")
     out = validate_by_group(seg_df, suite, "seg", strict=False)
@@ -236,12 +236,164 @@ def test_zscore_two_wave_per_segment(spark):
         assert seg[g]["unexpected_count"] == r.result["unexpected_count"]
 
 
-def test_zscore_with_row_condition_still_rejected(spark, seg_df):
+def test_zscore_with_row_condition_sub_pass(spark):
+    """row_condition on a two-wave condition runs as a filtered sub-pass
+    (round 5): per-segment stats are computed over the rc domain only —
+    runner parity against validate(df.filter(rc)) per segment."""
+    from great_expectations_spark import validate
+
+    # within rc domain (flag=1): 'a' has an outlier, 'b' does not; the
+    # rc-excluded rows (flag=0) carry wild values that would flip the
+    # stats if the filter were ignored
+    rows = [("a", 1, float(v)) for v in [10, 10, 10, 11, 9, 10, 10, 500]]
+    rows += [("a", 0, 1e6)]
+    rows += [("b", 1, float(v)) for v in range(100, 120)]
+    rows += [("b", 0, -1e6)]
+    df = spark.createDataFrame(rows, "seg string, flag int, v double")
     suite = ExpectationSuite("zrc")
     suite.add("expect_column_value_z_scores_to_be_less_than",
-              column="v", threshold=2.0, row_condition="k > 0")
-    with pytest.raises(ValueError, match="not segmentable"):
-        validate_by_group(seg_df, suite, "seg")
+              column="v", threshold=2.0, double_sided=True, mostly=0.95,
+              row_condition="flag = 1")
+    seg = {r["group"]: r
+           for r in validate_by_group(df, suite, "seg").collect()}
+    assert not seg["a"]["success"] and seg["a"]["unexpected_count"] >= 1
+    assert seg["b"]["success"] and seg["b"]["unexpected_count"] == 0
+    for g in ("a", "b"):
+        r = validate(df.filter(F.col("seg") == g), suite).results[0]
+        assert seg[g]["success"] == r.success
+        assert seg[g]["unexpected_count"] == r.result["unexpected_count"]
+
+
+def test_rc_aggregate_and_unique_sub_pass(spark):
+    """row_condition on aggregates / uniqueness runs as ONE filtered
+    sub-pass per distinct rc. A segment entirely outside the rc domain
+    produces no row for those expectations (the filtered batch never
+    sees it), exactly like a filtered SuiteRunner run."""
+    from great_expectations_spark import validate
+
+    rows = [("a", 1, 1.0, 10), ("a", 1, 2.0, 11), ("a", 0, 900.0, 11),
+            ("b", 1, 3.0, 20), ("b", 1, 4.0, 20),
+            ("c", 0, 999.0, 30)]                 # c: no rows with flag=1
+    df = spark.createDataFrame(rows, "seg string, flag int, v double, k int")
+    suite = ExpectationSuite("rcau")
+    suite.add("expect_column_mean_to_be_between", column="v",
+              min_value=0.0, max_value=5.0, row_condition="flag = 1")
+    suite.add("expect_column_values_to_be_unique", column="k",
+              row_condition="flag = 1")
+    seg = {
+        (r["group"], r["expectation_type"]): r
+        for r in validate_by_group(df, suite, "seg").collect()
+    }
+    mean_a = seg[("a", "expect_column_mean_to_be_between")]
+    assert mean_a["success"] and mean_a["element_count"] == 2
+    uq_b = seg[("b", "expect_column_values_to_be_unique")]
+    assert not uq_b["success"] and uq_b["unexpected_count"] == 2
+    # segment c never enters the rc domain → no rows for either check
+    assert not [k for k in seg if k[0] == "c"]
+    for g in ("a", "b"):
+        res = validate(df.filter(F.col("seg") == g), suite)
+        for r in res.results:
+            s = seg[(g, r.expectation_config["expectation_type"])]
+            assert s["success"] == r.success
+
+
+def test_windowed_increasing_per_segment(spark):
+    """Window-backed increasing is segmentable (round 5): the condition is
+    re-windowed by (segment, *partition_by) — lag never crosses a segment
+    or key boundary, matching a per-segment filtered run."""
+    from great_expectations_spark import validate
+
+    rows = [("a", "k1", i, float(i)) for i in range(5)]          # increasing
+    rows += [("a", "k2", i, float(10 - i)) for i in range(5)]    # decreasing
+    rows += [("b", "k1", i, float(i * 2)) for i in range(5)]     # increasing
+    df = spark.createDataFrame(rows, "seg string, key string, t int, v double")
+    suite = ExpectationSuite("win")
+    suite.add("expect_column_values_to_be_increasing", column="v",
+              strictly=True, partition_by="key", order_by="t")
+    seg = {r["group"]: r
+           for r in validate_by_group(df, suite, "seg").collect()}
+    assert not seg["a"]["success"] and seg["a"]["unexpected_count"] == 4
+    assert seg["b"]["success"] and seg["b"]["unexpected_count"] == 0
+    for g in ("a", "b"):
+        r = validate(df.filter(F.col("seg") == g), suite).results[0]
+        assert seg[g]["success"] == r.success
+        assert seg[g]["unexpected_count"] == r.result["unexpected_count"]
+
+
+def test_windowed_global_window_becomes_per_segment(spark):
+    """An explicit partition_by=None (the runner's GLOBAL window) becomes a
+    per-segment window — which IS the global window of each segment's
+    filtered run. Order comes from order_by, so this is deterministic."""
+    rows = [("a", i, float(i)) for i in range(5)]
+    rows += [("b", i, float(5 - i)) for i in range(5)]   # decreasing in b
+    df = spark.createDataFrame(rows, "seg string, t int, v double")
+    suite = ExpectationSuite("wing")
+    suite.add("expect_column_values_to_be_increasing", column="v",
+              strictly=True, partition_by=None, order_by="t")
+    seg = {r["group"]: r
+           for r in validate_by_group(df, suite, "seg").collect()}
+    assert seg["a"]["success"]
+    assert not seg["b"]["success"] and seg["b"]["unexpected_count"] == 4
+
+
+def test_windowed_default_keys_from_index_cols(spark):
+    """Absent partition_by defaults from unexpected_index_column_names —
+    the same rewrite SuiteRunner._default_monotone_windows applies — with
+    the segment column prepended."""
+    rows = [("a", "k1", 1, 1.0), ("a", "k1", 2, 2.0), ("a", "k2", 1, 5.0),
+            ("a", "k2", 2, 4.0), ("b", "k1", 1, 1.0), ("b", "k1", 2, 3.0)]
+    df = spark.createDataFrame(rows, "seg string, key string, t int, v double")
+    suite = ExpectationSuite("wind")
+    suite.add("expect_column_values_to_be_increasing", column="v",
+              strictly=True, order_by="t")
+    seg = {r["group"]: r
+           for r in validate_by_group(
+               df, suite, "seg",
+               unexpected_index_column_names=["key"]).collect()}
+    assert not seg["a"]["success"] and seg["a"]["unexpected_count"] == 1
+    assert seg["b"]["success"]
+
+
+def test_windowed_with_row_condition(spark):
+    """row_condition on a window condition filters the window pass's base
+    frame (SuiteRunner domain-group semantics): excluded rows are invisible
+    to lag, not merely uncounted."""
+    from great_expectations_spark import validate
+
+    # without the filter, the flag=0 row (v=100) breaks monotonicity for
+    # its neighbors; within the rc domain the sequence is increasing
+    rows = [("a", "k1", 0, 1, 1.0), ("a", "k1", 1, 0, 100.0),
+            ("a", "k1", 2, 1, 2.0), ("a", "k1", 3, 1, 3.0)]
+    df = spark.createDataFrame(
+        rows, "seg string, key string, t int, flag int, v double")
+    suite = ExpectationSuite("winrc")
+    suite.add("expect_column_values_to_be_increasing", column="v",
+              strictly=True, partition_by="key", order_by="t",
+              row_condition="flag = 1")
+    seg = {r["group"]: r
+           for r in validate_by_group(df, suite, "seg").collect()}
+    assert seg["a"]["success"] and seg["a"]["element_count"] == 3
+    r = validate(df.filter(F.col("seg") == "a"), suite).results[0]
+    assert r.success == seg["a"]["success"]
+
+
+def test_windowed_violations_sink(spark, tmp_path):
+    """Window-condition violations land in the sink with the offending
+    value, through the same executor-side write path."""
+    rows = [("a", "k1", 0, 1.0), ("a", "k1", 1, 5.0), ("a", "k1", 2, 3.0)]
+    df = spark.createDataFrame(rows, "seg string, key string, t int, v double")
+    suite = ExpectationSuite("winv")
+    suite.add("expect_column_values_to_be_increasing", column="v",
+              strictly=True, partition_by="key", order_by="t")
+    vpath = str(tmp_path / "wviol")
+    seg = {r["group"]: r
+           for r in validate_by_group(
+               df, suite, "seg", violations_path=vpath,
+               unexpected_index_column_names=["t"]).collect()}
+    assert seg["a"]["unexpected_count"] == 1
+    viol = spark.read.parquet(vpath).collect()
+    assert len(viol) == 1
+    assert viol[0]["t"] == 2 and viol[0]["observed_value"] == "3.0"
 
 
 def test_segmented_violations_sink(spark, tmp_path):
