@@ -455,3 +455,58 @@ def test_null_segment_group_is_null_not_sentinel(spark):
     assert set(rows) == {"NULL", None}
     assert rows["NULL"]["success"]
     assert not rows[None]["success"] and rows[None]["unexpected_count"] == 1
+
+
+def test_expr_backed_aggregates_segment_parity(spark):
+    """SURVEY §8.5 segmentability-audit hardening: quantile_values, KL
+    divergence (categorical), distinct-set membership, and unique-value
+    count are expression-backed CompiledAggs, so validate_by_group must
+    produce the same per-segment verdicts as per-segment SuiteRunner
+    runs — all from the ONE bundled groupBy."""
+    from great_expectations_spark import validate
+
+    rows = [("a", "u", float(v)) for v in range(1, 101)]
+    rows += [("b", "u", 5.0), ("b", "x", 6.0), ("b", "x", 7.0)]
+    df = spark.createDataFrame(rows, "seg string, role string, v double")
+    suite = ExpectationSuite("exprs")
+    suite.add(
+        "expect_column_quantile_values_to_be_between", column="v",
+        quantile_ranges={
+            "quantiles": [0.5, 0.9],
+            # a's median ~50 / p90 ~90 pass; b's median ~6 fails the [40, 60]
+            "value_ranges": [[40.0, 60.0], [80.0, 100.0]],
+        },
+    )
+    suite.add(
+        "expect_column_kl_divergence_to_be_less_than", column="role",
+        partition_object={"values": ["u", "x"], "weights": [0.5, 0.5]},
+        threshold=0.2,
+    )
+    suite.add(
+        "expect_column_distinct_values_to_be_in_set", column="role",
+        value_set=["u"],
+    )
+    suite.add(
+        "expect_column_unique_value_count_to_be_between", column="role",
+        min_value=2, max_value=2,
+    )
+    seg = {
+        (r["group"], r["expectation_type"]): r
+        for r in validate_by_group(df, suite, "seg").collect()
+    }
+    # hand-checked expectations per segment
+    assert seg[("a", "expect_column_quantile_values_to_be_between")]["success"]
+    assert not seg[("b", "expect_column_quantile_values_to_be_between")]["success"]
+    # a is 100% 'u' → KL vs 50/50 is ln(2)·1 > 0.2; b is 1/3-2/3 → < 0.2
+    assert not seg[("a", "expect_column_kl_divergence_to_be_less_than")]["success"]
+    assert seg[("b", "expect_column_kl_divergence_to_be_less_than")]["success"]
+    assert seg[("a", "expect_column_distinct_values_to_be_in_set")]["success"]
+    assert not seg[("b", "expect_column_distinct_values_to_be_in_set")]["success"]
+    assert not seg[("a", "expect_column_unique_value_count_to_be_between")]["success"]
+    assert seg[("b", "expect_column_unique_value_count_to_be_between")]["success"]
+    # and full parity with per-segment filtered SuiteRunner runs
+    for g in ("a", "b"):
+        res = validate(df.filter(F.col("seg") == g), suite)
+        for r in res.results:
+            et = r.expectation_config["expectation_type"]
+            assert seg[(g, et)]["success"] == r.success, (g, et)
