@@ -165,7 +165,7 @@ def main() -> None:
             "— pool same-engine-rev samples (per-level min across runs) for\n"
             "the noise-robust estimator before quoting a single-run figure.\n"
         )
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
