@@ -393,26 +393,36 @@ class Checkpoint:
                 expected="partition_id=<pid>/expectation=<type>/",
             )
         shash = suite_hash(suite)
-        if segment_col is not None:
-            shash = hashlib.sha256(
-                f"{shash}|segmented:{segment_col}".encode()
-            ).hexdigest()[:16]
-            if self.evr_path:
-                # a whole-partition EVR store has no `segment` column;
-                # appending the segmented shape into it would silently
-                # null-fill one side on read — refuse instead
-                try:
-                    existing = set(
-                        self.spark.read.parquet(self.evr_path).columns
-                    )
-                except Exception:  # noqa: BLE001 — first run: no store yet
-                    existing = None
-                if existing is not None and "segment" not in existing:
+        if self.evr_path:
+            # the two EVR shapes must never share a store: reading a mixed
+            # store under either schema silently null-fills the other
+            # side's rows — and a whole-partition row null-filled into the
+            # `segment` column would merge into the genuinely-NULL segment
+            # group (a legitimate value in segmented mode). Refuse BOTH
+            # directions instead.
+            try:
+                existing = set(
+                    self.spark.read.parquet(self.evr_path).columns
+                )
+            except Exception:  # noqa: BLE001 — first run: no store yet
+                existing = None
+            if existing is not None:
+                if segment_col is not None and "segment" not in existing:
                     raise ValueError(
                         f"evr_path {self.evr_path!r} holds whole-partition "
                         "EVR rows (no `segment` column); segmented runs "
                         "need their own EVR store path"
                     )
+                if segment_col is None and "segment" in existing:
+                    raise ValueError(
+                        f"evr_path {self.evr_path!r} holds segmented EVR "
+                        "rows (`segment` column present); whole-partition "
+                        "runs need their own EVR store path"
+                    )
+        if segment_col is not None:
+            shash = hashlib.sha256(
+                f"{shash}|segmented:{segment_col}".encode()
+            ).hexdigest()[:16]
         done = self.completed_partitions(shash)
         if partition_values is None:
             partition_values = sorted(
@@ -563,12 +573,35 @@ class Checkpoint:
         return out
 
     # ------------------------------------------------------------- merge view
+    def _committed_rows(self, evrs: DataFrame) -> DataFrame:
+        """Restrict an EVR frame to MANIFEST-COMMITTED rows: the latest
+        ``status=validated`` manifest row per partition names the one
+        ``run_id`` whose EVRs count. The manifest append is the commit
+        point (EVRs are written first, inside the same lock) — a process
+        killed between the two appends leaves orphan EVR rows that a
+        resumed run re-validates, and summing both sets would double every
+        counter for that partition. The join side is tiny (one row per
+        partition) and broadcast."""
+        latest = (
+            self.read_manifest()
+            .filter(F.col("status") == "validated")
+            .groupBy("partition_id")
+            .agg(F.max_by("run_id", "finished_ts").alias("run_id"))
+        )
+        return evrs.join(
+            F.broadcast(latest), on=["partition_id", "run_id"],
+            how="left_semi",
+        )
+
     def merged_map_verdicts(self, shash_or_suite: Any) -> DataFrame:
         """Suite-level merged counters per expectation_type from the EVR
-        store — counts add across partitions (SURVEY.md §4.2 item 5)."""
+        store — counts add across partitions (SURVEY.md §4.2 item 5).
+        Only manifest-committed rows participate (``_committed_rows``)."""
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
-        evrs = self.spark.read.schema(EVR_ROW_SCHEMA).parquet(self.evr_path)
+        evrs = self._committed_rows(
+            self.spark.read.schema(EVR_ROW_SCHEMA).parquet(self.evr_path)
+        )
         return (
             evrs.groupBy("expectation_type")
             .agg(
@@ -595,11 +628,18 @@ class Checkpoint:
         checkpoint's partition column does not split a key group — a
         duplicate pair or a lag window straddling two partitions is
         counted per partition, which is the declared semantics of
-        partition-granularity validation everywhere in this engine."""
+        partition-granularity validation everywhere in this engine.
+
+        Only manifest-committed rows participate (``_committed_rows``):
+        EVR rows orphaned by a kill between the EVR append and the
+        manifest append are superseded by the resumed run's committed
+        set, never double-counted."""
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
-        evrs = self.spark.read.schema(SEGMENT_EVR_ROW_SCHEMA).parquet(
-            self.evr_path
+        evrs = self._committed_rows(
+            self.spark.read.schema(SEGMENT_EVR_ROW_SCHEMA).parquet(
+                self.evr_path
+            )
         )
         return (
             evrs.groupBy("segment", "expectation_type")

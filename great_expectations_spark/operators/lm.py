@@ -82,17 +82,20 @@ def score_documents(
     """
     vocab_rel = vocab.select("token", "logp")
     if oov_logp is None:
-        # Materialize the ≤top_k-row vocab ONCE, executor-side: persist,
-        # then a ONE-ROW agg yields the OOV floor. The scoring job's
-        # broadcast reads the same cache, so the corpus is tokenized
-        # exactly once per pass and NOTHING O(top_k) ever reaches the
-        # driver — an arbitrary large (token, logp) relation can't OOM it
-        # (the earlier collect+rebuild shape could, at vocab ≥ ~1M rows).
-        # The cache entry is released by Spark's ContextCleaner when the
-        # relation is no longer referenced.
-        from pyspark.storagelevel import StorageLevel
-
-        vocab_rel = vocab_rel.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize the ≤top_k-row vocab ONCE, executor-side, via
+        # localCheckpoint: a ONE-ROW agg then yields the OOV floor and the
+        # scoring job's broadcast reads the same checkpointed blocks, so
+        # the corpus is tokenized exactly once per pass and NOTHING
+        # O(top_k) ever reaches the driver — an arbitrary large
+        # (token, logp) relation can't OOM it (the earlier collect+rebuild
+        # shape could, at vocab ≥ ~1M rows). localCheckpoint, NOT
+        # persist(): CacheManager holds persisted relations until an
+        # explicit unpersist (ContextCleaner never cleans SQL cache
+        # entries), which would leak one ≤top_k-row cache entry per
+        # score_documents call in a per-batch pipeline; checkpointed RDD
+        # blocks are reference-counted and reclaimed once the caller drops
+        # the returned frame.
+        vocab_rel = vocab_rel.localCheckpoint(eager=True)
         row = vocab_rel.agg(
             F.min("logp").alias("__m"), F.count(F.lit(1)).alias("__n")
         ).collect()[0]

@@ -752,11 +752,18 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
     group_by = list(cfg.kwargs["group_by"])
     start = int(cfg.kwargs.get("start", 0))
     mostly = cfg.mostly
-    # run() persists the per-group stats and stashes them here so the
-    # violations pass reuses the cached aggregation instead of re-scanning
-    # and re-shuffling the whole table (the runner always calls run()
-    # before violations() on the same df). The cache entry is reclaimed by
-    # Spark's ContextCleaner when this compiled expectation is dropped.
+    # run() materializes the per-group stats via localCheckpoint and
+    # stashes them here so the violations pass reuses the computed
+    # aggregation instead of re-scanning and re-shuffling the whole table
+    # (the runner always calls run() before violations() on the same df).
+    # localCheckpoint — NOT persist(): CacheManager holds persisted
+    # relations until an explicit unpersist (ContextCleaner never touches
+    # SQL cache entries), which would leak one entry per compile in a
+    # per-partition checkpoint loop; a checkpointed RDD is plain
+    # reference-counted, so dropping this compiled expectation lets
+    # ContextCleaner reclaim the blocks. The source frame is compared by
+    # IDENTITY with a strong reference (never id(): CPython reuses
+    # addresses after GC, which could silently match a different table).
     state: dict[str, Any] = {}
 
     def _group_stats(df: DataFrame) -> DataFrame:
@@ -787,21 +794,16 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
         # persisted stats when available: ONE aggregation of the table per
         # validated run, not one per consumer.
         stats = (
-            state["stats"] if state.get("src") == id(df) else _group_stats(df)
+            state["stats"] if state.get("src") is df else _group_stats(df)
         )
         return df.join(_bad(stats).select(*group_by), on=group_by,
                        how="left_semi")
 
     def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
-        from pyspark.storagelevel import StorageLevel
-
         from great_expectations_spark.result import calc_map_success
 
-        stats = _group_stats(df).persist(StorageLevel.MEMORY_AND_DISK)
-        old = state.get("stats")
-        if old is not None:
-            old.unpersist()
-        state["src"], state["stats"] = id(df), stats
+        stats = _group_stats(df).localCheckpoint(eager=True)
+        state["src"], state["stats"] = df, stats
         row = stats.agg(
             F.count(F.lit(1)).alias("tg"),
             F.sum(

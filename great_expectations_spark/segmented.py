@@ -245,263 +245,268 @@ def validate_by_group(
     from pyspark.storagelevel import StorageLevel
 
     to_unpersist: list[DataFrame] = []
-    ec_by_g: dict[Any, int] = {}
-    if maps or aggs or dep_maps or vc_aggs:
-        grouped = df.groupBy(gcol.alias("__g")).agg(*exprs)
-        if dep_maps:
-            # wave 2 reads the same per-segment stats the collect below
-            # reads — persist so the aggregation runs once
-            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
-            to_unpersist.append(grouped)
-        wave1_rows = _capped_collect(grouped)
-        for row in wave1_rows:
-            ec_by_g[row["__g"]] = int(row["__ec"])
+    # every persisted relation is released even when a pass raises
+    # (max_groups overflow, a failing violations write): a checkpointed
+    # per-partition loop must not accumulate CacheManager entries
+    try:
+        ec_by_g: dict[Any, int] = {}
+        if maps or aggs or dep_maps or vc_aggs:
+            grouped = df.groupBy(gcol.alias("__g")).agg(*exprs)
+            if dep_maps:
+                # wave 2 reads the same per-segment stats the collect below
+                # reads — persist so the aggregation runs once
+                grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+                to_unpersist.append(grouped)
+            wave1_rows = _capped_collect(grouped)
+            for row in wave1_rows:
+                ec_by_g[row["__g"]] = int(row["__ec"])
 
-        # ---- wave 2: every two-wave condition rebuilt with its segment's
-        # deps as COLUMNS (per-segment stats broadcast-joined back onto the
-        # batch), all counted in ONE second groupBy — two shuffles total
-        # for any number of z-score expectations × segments ---------------
-        w2_by_g: dict[Any, Any] = {}
-        if dep_maps:
-            dep_cols = [F.col("__g").alias("__dg")]
-            for i, cm in dep_maps:
-                dep_cols.extend(
-                    F.col(f"d{i}_{alias}") for alias in cm.condition.requires
-                )
-            deps_rel = grouped.select(*dep_cols)
-            base = df.select(gcol.alias("__seg"), "*")
-            joined = base.join(
-                F.broadcast(deps_rel),
-                on=F.col("__seg").eqNullSafe(F.col("__dg")),
-                how="left",
-            )
-            w2_exprs = []
-            dep_conds: dict[int, Any] = {}
-            for i, cm in dep_maps:
-                cond = cm.condition.rebuild_expr({
-                    alias: F.col(f"d{i}_{alias}")
-                    for alias in cm.condition.requires
-                })
-                dep_conds[i] = cond
-                w2_exprs.append(
-                    F.sum(F.when(cond.unexpected, 1).otherwise(0))
-                    .alias(f"u_{i}")
-                )
-            wave2 = joined.groupBy(F.col("__seg").alias("__g")).agg(*w2_exprs)
-            for row in _capped_collect(wave2):
-                w2_by_g[row["__g"]] = row
-            if violations_path:
+            # ---- wave 2: every two-wave condition rebuilt with its segment's
+            # deps as COLUMNS (per-segment stats broadcast-joined back onto the
+            # batch), all counted in ONE second groupBy — two shuffles total
+            # for any number of z-score expectations × segments ---------------
+            w2_by_g: dict[Any, Any] = {}
+            if dep_maps:
+                dep_cols = [F.col("__g").alias("__dg")]
                 for i, cm in dep_maps:
-                    violation_frames.append(_viol_frame(
-                        F.col("__seg"), joined, dep_conds[i], F.lit(True),
-                        cm.cfg.expectation_type,
-                    ))
-
-        for row in wave1_rows:
-            g = row["__g"]
-            ec = int(row["__ec"])
-            for i, cm, rc in maps:
-                ec_i = int(row[f"e_{i}"]) if rc is not None else ec
-                missing, unexpected = int(row[f"m_{i}"]), int(row[f"u_{i}"])
-                ok = calc_map_success(ec_i, missing, unexpected, cm.mostly)
-                out.append((
-                    g, cm.cfg.expectation_type, bool(ok),
-                    ec_i, missing, unexpected, None,
-                ))
-            for i, cm in dep_maps:
-                missing = int(row[f"m_{i}"])
-                w2 = w2_by_g.get(g)
-                unexpected = int(w2[f"u_{i}"]) if w2 is not None else 0
-                ok = calc_map_success(ec, missing, unexpected, cm.mostly)
-                out.append((
-                    g, cm.cfg.expectation_type, bool(ok),
-                    ec, missing, unexpected, None,
-                ))
-            for i, ca in aggs:
-                values = {
-                    alias: row[f"a{i}_{alias}"] for alias in ca.metric.exprs
-                }
-                observed = ca.metric.finalize(values)
-                ok, _extra = ca.validate(observed)
-                out.append((
-                    g, ca.cfg.expectation_type, bool(ok),
-                    ec, 0, 0,
-                    # NULL observed (all-null segment) stays SQL NULL — the
-                    # string 'None' would render as text in the docs page
-                    str(observed) if observed is not None else None,
-                ))
-
-        if violations_path:
-            for i, cm, rc in maps:
-                dom = F.expr(rc) if rc is not None else F.lit(True)
-                violation_frames.append(_viol_frame(
-                    gcol, df, cm.condition, dom, cm.cfg.expectation_type
-                ))
-
-    # ---- one shared keyed pass per distinct value-counts column ---------
-    if vc_aggs:
-        modes_by_col: dict[str, dict[Any, list]] = {}
-        for col in {c for _, _, c in vc_aggs}:
-            vc = (
-                df.filter(F.col(col).isNotNull())
-                .groupBy(gcol.alias("__g"), F.col(col).alias("__v"))
-                .agg(F.count(F.lit(1)).alias("__cnt"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            try:
-                # modes-with-ties: per-segment max joined back (broadcast —
-                # ≤max_groups tiny rows), never a collect_list of every
-                # distinct value a segment holds
-                mx = vc.groupBy(F.col("__g").alias("__gm")).agg(
-                    F.max("__cnt").alias("__mx")
-                )
-                modes = (
-                    vc.join(
-                        F.broadcast(mx),
-                        on=F.col("__g").eqNullSafe(F.col("__gm"))
-                        & (F.col("__cnt") == F.col("__mx")),
+                    dep_cols.extend(
+                        F.col(f"d{i}_{alias}") for alias in cm.condition.requires
                     )
-                    .groupBy("__g")
-                    .agg(F.sort_array(F.collect_list("__v")).alias("__modes"))
+                deps_rel = grouped.select(*dep_cols)
+                base = df.select(gcol.alias("__seg"), "*")
+                joined = base.join(
+                    F.broadcast(deps_rel),
+                    on=F.col("__seg").eqNullSafe(F.col("__dg")),
+                    how="left",
                 )
-                modes_by_col[col] = {
-                    r["__g"]: list(r["__modes"])
-                    for r in _capped_collect(modes)
-                }
-            finally:
-                vc.unpersist()
-        for i, ca, col in vc_aggs:
-            by_g = modes_by_col[col]
-            # a segment whose column is entirely NULL has no value counts —
-            # observed [] mirrors the runner's mode_job empty result
-            for g, ec in ec_by_g.items():
-                observed = by_g.get(g, [])
-                ok, _extra = ca.validate(observed)
-                out.append((
-                    g, ca.cfg.expectation_type, bool(ok),
-                    ec, 0, 0, str(observed),
-                ))
+                w2_exprs = []
+                dep_conds: dict[int, Any] = {}
+                for i, cm in dep_maps:
+                    cond = cm.condition.rebuild_expr({
+                        alias: F.col(f"d{i}_{alias}")
+                        for alias in cm.condition.requires
+                    })
+                    dep_conds[i] = cond
+                    w2_exprs.append(
+                        F.sum(F.when(cond.unexpected, 1).otherwise(0))
+                        .alias(f"u_{i}")
+                    )
+                wave2 = joined.groupBy(F.col("__seg").alias("__g")).agg(*w2_exprs)
+                for row in _capped_collect(wave2):
+                    w2_by_g[row["__g"]] = row
+                if violations_path:
+                    for i, cm in dep_maps:
+                        violation_frames.append(_viol_frame(
+                            F.col("__seg"), joined, dep_conds[i], F.lit(True),
+                            cm.cfg.expectation_type,
+                        ))
 
-    # ---- one keyed pass per uniqueness expectation -----------------------
-    for cu in uniqs:
-        keys = [F.col(c) for c in cu.key_cols]
-        # match SuiteRunner's compound domain: missing only when ALL key
-        # columns are null (ignore_row_if=all_values_are_missing default);
-        # a partially-null key still participates in uniqueness
-        missing_row = keys[0].isNull()
-        for k in keys[1:]:
-            missing_row = missing_row & k.isNull()
-        per_key = (
-            df.select(
-                gcol.alias("__g"),
-                missing_row.alias("__miss"),
-                *[k.alias(f"__k{j}") for j, k in enumerate(keys)],
-            )
-            .groupBy("__g", "__miss", *[f"__k{j}" for j in range(len(keys))])
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-        )
-        if violations_path:
-            # the violations join reads the same keyed counts as the
-            # per-segment rollup below — persist so the shuffle runs once
-            per_key = per_key.persist(StorageLevel.MEMORY_AND_DISK)
-            to_unpersist.append(per_key)
-        seg = per_key.groupBy("__g").agg(
-            F.sum("__cnt").alias("__ec"),
-            F.sum(F.when(F.col("__miss"), F.col("__cnt")).otherwise(0))
-            .alias("__missing"),
-            F.sum(
-                F.when(~F.col("__miss") & (F.col("__cnt") > 1), F.col("__cnt"))
-                .otherwise(0)
-            ).alias("__ux"),
-        )
-        for row in _capped_collect(seg):
-            ec, missing = int(row["__ec"]), int(row["__missing"] or 0)
-            ux = int(row["__ux"] or 0)
-            ok = calc_map_success(ec, missing, ux, cu.mostly)
-            out.append((
-                row["__g"], cu.cfg.expectation_type, bool(ok),
-                ec, missing, ux, None,
-            ))
-        if violations_path:
-            # ALL rows of a key duplicated WITHIN its segment (SuiteRunner
-            # row-marking parity), via a semi-join against the dup keys
-            dup_keys = per_key.filter(
-                ~F.col("__miss") & (F.col("__cnt") > 1)
-            ).select("__g", *[f"__k{j}" for j in range(len(keys))])
-            jc = F.col("__seg").eqNullSafe(F.col("__g"))
-            for j, kname in enumerate(cu.key_cols):
-                jc = jc & F.col(kname).eqNullSafe(F.col(f"__k{j}"))
-            violation_frames.append(
-                df.select(gcol.alias("__seg"), "*")
-                .join(dup_keys, on=jc, how="left_semi")
-                .select(
-                    F.col("__seg").alias("group"),
-                    *[F.col(c) for c in index_cols],
-                    F.lit(cu.cfg.expectation_type).alias("expectation"),
-                    F.concat_ws(
-                        "|", *[F.col(c).cast("string") for c in cu.key_cols]
-                    ).alias("observed_value"),
-                )
-            )
-
-    # ---- one window pass per distinct row_condition: monotone conditions
-    # recompiled with the segment prepended to their window keys, then ONE
-    # groupBy(segment) over the flag columns — every segment in one job ----
-    if win_maps:
-        by_rc: dict[str | None, list[tuple[int, Any, CompiledMap]]] = {}
-        for i, cfg, comp, rc in win_maps:
-            by_rc.setdefault(rc, []).append((i, cfg, comp))
-        for rc, members in by_rc.items():
-            base = df.filter(F.expr(rc)) if rc is not None else df
-            sel: list[F.Column] = [gcol.alias("__g")]
-            conds: dict[int, Any] = {}
-            for i, cfg, comp in members:
-                cond = compile_expectation(
-                    _window_recompiled(cfg, group_by, index_cols)
-                ).condition
-                conds[i] = cond
-                sel.append(cond.missing.cast("int").alias(f"m_{i}"))
-                sel.append(cond.unexpected.cast("int").alias(f"u_{i}"))
-            seg_counts = (
-                base.select(*sel)
-                .groupBy("__g")
-                .agg(
-                    F.count(F.lit(1)).alias("__ec"),
-                    *[
-                        F.sum(f"{p}_{i}").alias(f"{p}_{i}")
-                        for i, _, _ in members
-                        for p in ("m", "u")
-                    ],
-                )
-            )
-            for row in _capped_collect(seg_counts):
+            for row in wave1_rows:
+                g = row["__g"]
                 ec = int(row["__ec"])
-                for i, cfg, comp in members:
-                    missing = int(row[f"m_{i}"] or 0)
-                    unexpected = int(row[f"u_{i}"] or 0)
-                    ok = calc_map_success(ec, missing, unexpected, comp.mostly)
+                for i, cm, rc in maps:
+                    ec_i = int(row[f"e_{i}"]) if rc is not None else ec
+                    missing, unexpected = int(row[f"m_{i}"]), int(row[f"u_{i}"])
+                    ok = calc_map_success(ec_i, missing, unexpected, cm.mostly)
                     out.append((
-                        row["__g"], cfg.expectation_type, bool(ok),
+                        g, cm.cfg.expectation_type, bool(ok),
+                        ec_i, missing, unexpected, None,
+                    ))
+                for i, cm in dep_maps:
+                    missing = int(row[f"m_{i}"])
+                    w2 = w2_by_g.get(g)
+                    unexpected = int(w2[f"u_{i}"]) if w2 is not None else 0
+                    ok = calc_map_success(ec, missing, unexpected, cm.mostly)
+                    out.append((
+                        g, cm.cfg.expectation_type, bool(ok),
                         ec, missing, unexpected, None,
                     ))
-            if violations_path:
-                for i, cfg, comp in members:
-                    violation_frames.append(_viol_frame(
-                        gcol, base, conds[i], F.lit(True),
-                        cfg.expectation_type,
+                for i, ca in aggs:
+                    values = {
+                        alias: row[f"a{i}_{alias}"] for alias in ca.metric.exprs
+                    }
+                    observed = ca.metric.finalize(values)
+                    ok, _extra = ca.validate(observed)
+                    out.append((
+                        g, ca.cfg.expectation_type, bool(ok),
+                        ec, 0, 0,
+                        # NULL observed (all-null segment) stays SQL NULL — the
+                        # string 'None' would render as text in the docs page
+                        str(observed) if observed is not None else None,
                     ))
 
-    # ---- executor-side violations write (same path SuiteRunner uses) ----
-    if violations_path and violation_frames:
-        vout = violation_frames[0]
-        for vf in violation_frames[1:]:
-            vout = vout.unionByName(vf)
-        vout.write.mode("append").partitionBy("expectation").parquet(
-            violations_path
-        )
+            if violations_path:
+                for i, cm, rc in maps:
+                    dom = F.expr(rc) if rc is not None else F.lit(True)
+                    violation_frames.append(_viol_frame(
+                        gcol, df, cm.condition, dom, cm.cfg.expectation_type
+                    ))
 
-    for rel in to_unpersist:
-        rel.unpersist()
+        # ---- one shared keyed pass per distinct value-counts column ---------
+        if vc_aggs:
+            modes_by_col: dict[str, dict[Any, list]] = {}
+            for col in {c for _, _, c in vc_aggs}:
+                vc = (
+                    df.filter(F.col(col).isNotNull())
+                    .groupBy(gcol.alias("__g"), F.col(col).alias("__v"))
+                    .agg(F.count(F.lit(1)).alias("__cnt"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                try:
+                    # modes-with-ties: per-segment max joined back (broadcast —
+                    # ≤max_groups tiny rows), never a collect_list of every
+                    # distinct value a segment holds
+                    mx = vc.groupBy(F.col("__g").alias("__gm")).agg(
+                        F.max("__cnt").alias("__mx")
+                    )
+                    modes = (
+                        vc.join(
+                            F.broadcast(mx),
+                            on=F.col("__g").eqNullSafe(F.col("__gm"))
+                            & (F.col("__cnt") == F.col("__mx")),
+                        )
+                        .groupBy("__g")
+                        .agg(F.sort_array(F.collect_list("__v")).alias("__modes"))
+                    )
+                    modes_by_col[col] = {
+                        r["__g"]: list(r["__modes"])
+                        for r in _capped_collect(modes)
+                    }
+                finally:
+                    vc.unpersist()
+            for i, ca, col in vc_aggs:
+                by_g = modes_by_col[col]
+                # a segment whose column is entirely NULL has no value counts —
+                # observed [] mirrors the runner's mode_job empty result
+                for g, ec in ec_by_g.items():
+                    observed = by_g.get(g, [])
+                    ok, _extra = ca.validate(observed)
+                    out.append((
+                        g, ca.cfg.expectation_type, bool(ok),
+                        ec, 0, 0, str(observed),
+                    ))
+
+        # ---- one keyed pass per uniqueness expectation -----------------------
+        for cu in uniqs:
+            keys = [F.col(c) for c in cu.key_cols]
+            # match SuiteRunner's compound domain: missing only when ALL key
+            # columns are null (ignore_row_if=all_values_are_missing default);
+            # a partially-null key still participates in uniqueness
+            missing_row = keys[0].isNull()
+            for k in keys[1:]:
+                missing_row = missing_row & k.isNull()
+            per_key = (
+                df.select(
+                    gcol.alias("__g"),
+                    missing_row.alias("__miss"),
+                    *[k.alias(f"__k{j}") for j, k in enumerate(keys)],
+                )
+                .groupBy("__g", "__miss", *[f"__k{j}" for j in range(len(keys))])
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+            )
+            if violations_path:
+                # the violations join reads the same keyed counts as the
+                # per-segment rollup below — persist so the shuffle runs once
+                per_key = per_key.persist(StorageLevel.MEMORY_AND_DISK)
+                to_unpersist.append(per_key)
+            seg = per_key.groupBy("__g").agg(
+                F.sum("__cnt").alias("__ec"),
+                F.sum(F.when(F.col("__miss"), F.col("__cnt")).otherwise(0))
+                .alias("__missing"),
+                F.sum(
+                    F.when(~F.col("__miss") & (F.col("__cnt") > 1), F.col("__cnt"))
+                    .otherwise(0)
+                ).alias("__ux"),
+            )
+            for row in _capped_collect(seg):
+                ec, missing = int(row["__ec"]), int(row["__missing"] or 0)
+                ux = int(row["__ux"] or 0)
+                ok = calc_map_success(ec, missing, ux, cu.mostly)
+                out.append((
+                    row["__g"], cu.cfg.expectation_type, bool(ok),
+                    ec, missing, ux, None,
+                ))
+            if violations_path:
+                # ALL rows of a key duplicated WITHIN its segment (SuiteRunner
+                # row-marking parity), via a semi-join against the dup keys
+                dup_keys = per_key.filter(
+                    ~F.col("__miss") & (F.col("__cnt") > 1)
+                ).select("__g", *[f"__k{j}" for j in range(len(keys))])
+                jc = F.col("__seg").eqNullSafe(F.col("__g"))
+                for j, kname in enumerate(cu.key_cols):
+                    jc = jc & F.col(kname).eqNullSafe(F.col(f"__k{j}"))
+                violation_frames.append(
+                    df.select(gcol.alias("__seg"), "*")
+                    .join(dup_keys, on=jc, how="left_semi")
+                    .select(
+                        F.col("__seg").alias("group"),
+                        *[F.col(c) for c in index_cols],
+                        F.lit(cu.cfg.expectation_type).alias("expectation"),
+                        F.concat_ws(
+                            "|", *[F.col(c).cast("string") for c in cu.key_cols]
+                        ).alias("observed_value"),
+                    )
+                )
+
+        # ---- one window pass per distinct row_condition: monotone conditions
+        # recompiled with the segment prepended to their window keys, then ONE
+        # groupBy(segment) over the flag columns — every segment in one job ----
+        if win_maps:
+            by_rc: dict[str | None, list[tuple[int, Any, CompiledMap]]] = {}
+            for i, cfg, comp, rc in win_maps:
+                by_rc.setdefault(rc, []).append((i, cfg, comp))
+            for rc, members in by_rc.items():
+                base = df.filter(F.expr(rc)) if rc is not None else df
+                sel: list[F.Column] = [gcol.alias("__g")]
+                conds: dict[int, Any] = {}
+                for i, cfg, comp in members:
+                    cond = compile_expectation(
+                        _window_recompiled(cfg, group_by, index_cols)
+                    ).condition
+                    conds[i] = cond
+                    sel.append(cond.missing.cast("int").alias(f"m_{i}"))
+                    sel.append(cond.unexpected.cast("int").alias(f"u_{i}"))
+                seg_counts = (
+                    base.select(*sel)
+                    .groupBy("__g")
+                    .agg(
+                        F.count(F.lit(1)).alias("__ec"),
+                        *[
+                            F.sum(f"{p}_{i}").alias(f"{p}_{i}")
+                            for i, _, _ in members
+                            for p in ("m", "u")
+                        ],
+                    )
+                )
+                for row in _capped_collect(seg_counts):
+                    ec = int(row["__ec"])
+                    for i, cfg, comp in members:
+                        missing = int(row[f"m_{i}"] or 0)
+                        unexpected = int(row[f"u_{i}"] or 0)
+                        ok = calc_map_success(ec, missing, unexpected, comp.mostly)
+                        out.append((
+                            row["__g"], cfg.expectation_type, bool(ok),
+                            ec, missing, unexpected, None,
+                        ))
+                if violations_path:
+                    for i, cfg, comp in members:
+                        violation_frames.append(_viol_frame(
+                            gcol, base, conds[i], F.lit(True),
+                            cfg.expectation_type,
+                        ))
+
+        # ---- executor-side violations write (same path SuiteRunner uses) ----
+        if violations_path and violation_frames:
+            vout = violation_frames[0]
+            for vf in violation_frames[1:]:
+                vout = vout.unionByName(vf)
+            vout.write.mode("append").partitionBy("expectation").parquet(
+                violations_path
+            )
+
+    finally:
+        for rel in to_unpersist:
+            rel.unpersist()
 
     # ---- one bundled sub-pass per DISTINCT row_condition: rc-carrying
     # aggregates / uniqueness / two-wave conditions run over the filtered

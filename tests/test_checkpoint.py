@@ -293,3 +293,51 @@ def test_segmented_checkpoint_failure_verdict(spark, tmp_path, tdf):
     assert all(r.segmented_success is False for r in r1.validated)
     r2 = ck.run(tdf, s, run_id="r2", partition_col="day", segment_col="role")
     assert len(r2.skipped) == 3 and not r2.success
+
+
+def test_whole_run_refuses_segmented_evr_store(spark, tmp_path, seg_suite,
+                                               suite, tdf):
+    """The shape guard is symmetric (round-5 review fix): a whole-partition
+    run into an existing SEGMENTED store is refused — its rows would
+    null-fill `segment` on read and merge into the genuinely-NULL segment
+    group, silently inflating those counters."""
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    ck.run(tdf, seg_suite, run_id="r1", partition_col="day",
+           segment_col="role")
+    with pytest.raises(ValueError, match="segmented EVR rows"):
+        ck.run(tdf, suite, run_id="r2", partition_col="day")
+
+
+def test_merged_segment_verdicts_ignore_orphan_evrs(spark, tmp_path,
+                                                    seg_suite, tdf):
+    """A kill BETWEEN the EVR append and the manifest append leaves orphan
+    EVR rows; the resumed run re-validates the partition and appends a
+    second full set. The merge must count ONLY manifest-committed rows
+    (round-5 review fix), or every counter of that partition doubles."""
+    from great_expectations_spark import validate_by_group
+
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    r1 = ck.run(tdf, seg_suite, run_id="r1", partition_col="day",
+                segment_col="role")
+    assert r1.success is not None
+
+    # simulate the torn write: EVR rows committed, manifest row lost
+    orphan_rows = validate_by_group(
+        tdf.filter(F.col("day") == "2025-01-02"), seg_suite, "role"
+    ).collect()
+    ck._append_segment_evrs("r-orphan", "2025-01-02", orphan_rows)
+
+    merged = {
+        (r["segment"], r["expectation_type"]): r
+        for r in ck.merged_segment_verdicts().collect()
+    }
+    single = {
+        (r["group"], r["expectation_type"]): r
+        for r in validate_by_group(tdf, seg_suite, "role").collect()
+    }
+    assert set(merged) == set(single)
+    for k, m in merged.items():
+        assert m["element_count"] == single[k]["element_count"], k
+        assert m["unexpected_count"] == single[k]["unexpected_count"], k

@@ -856,8 +856,13 @@ class TestContiguous:
 
     def test_violations_reuse_run_stats(self, spark, turns):
         """ONE aggregation of the table per validated run: the violations
-        frame must read run()'s persisted per-group stats (InMemoryTableScan
-        in the physical plan), never re-aggregate the table from scratch."""
+        frame must read run()'s localCheckpoint-materialized per-group
+        stats (an ExistingRDD scan in the physical plan, with NO second
+        aggregate on the build side), never re-aggregate the table from
+        scratch. localCheckpoint, not persist: CacheManager would hold a
+        persisted relation until explicit unpersist — one leaked entry per
+        compile in a per-partition checkpoint loop — while checkpointed
+        RDD blocks are reference-counted and ContextCleaner-reclaimed."""
         from great_expectations_spark.registry import compile_expectation
         from great_expectations_spark.suite import ExpectationConfiguration
 
@@ -868,7 +873,10 @@ class TestContiguous:
         comp.run(turns, {})
         viol = comp.violations(turns, {})
         plan = viol._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan
+        assert "ExistingRDD" in plan
+        # exactly ONE aggregate in the whole violations plan would mean a
+        # re-aggregation of the table; the checkpointed build side has none
+        assert "HashAggregate" not in plan
         assert {r["conv_id"] for r in viol.select("conv_id").distinct().collect()} \
             == {"c2", "c3", "c4"}
 

@@ -247,3 +247,94 @@ def test_fused_value_counts_beyond_grouping_sets_limit(spark):
     assert set(out) == set(cols)
     assert sorted(v for v, _ in out["c0"]) == ["0", "1"]
     assert sum(cnt for _, cnt in out["c69"]) == 60
+
+
+def _spy_persist(monkeypatch, df_cls):
+    """Record every DataFrame.persist call (round-5 review: Spark's SQL
+    CacheManager holds persisted relations until an EXPLICIT unpersist —
+    ContextCleaner never cleans SQL-cache entries — so library paths that
+    cannot guarantee the unpersist must localCheckpoint instead)."""
+    calls: list = []
+    orig = df_cls.persist
+
+    def spy(self, *a, **k):
+        calls.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(df_cls, "persist", spy)
+    return calls
+
+
+def test_contiguous_run_and_violations_never_persist(spark, monkeypatch):
+    """expect_column_values_to_be_contiguous materializes its per-group
+    stats via localCheckpoint, never persist(): a per-partition checkpoint
+    loop compiles it fresh per partition and nothing ever unpersists the
+    compiled expectation's cache entry."""
+    from great_expectations_spark.registry import compile_expectation
+    from great_expectations_spark.suite import ExpectationConfiguration
+
+    df = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c2", 0), ("c2", 2)],
+        "conv_id string, turn_idx int",
+    )
+    comp = compile_expectation(ExpectationConfiguration(
+        "expect_column_values_to_be_contiguous",
+        {"column": "turn_idx", "group_by": ["conv_id"], "start": 0},
+    ))
+    calls = _spy_persist(monkeypatch, type(df))
+    ok, extra = comp.run(df, {})
+    viol = comp.violations(df, {}).collect()
+    assert not ok and {r["conv_id"] for r in viol} == {"c2"}
+    assert calls == []
+
+
+def test_score_documents_default_oov_never_persists(spark, monkeypatch):
+    """score_documents(oov_logp=None) must not register a CacheManager
+    entry per call — a per-batch pipeline would leak one ≤top_k-row cached
+    relation per batch."""
+    from great_expectations_spark.operators.lm import (
+        score_documents,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha zzz")], "doc_id long, text string"
+    )
+    vocab = unigram_vocab(docs, top_k=2)
+    calls = _spy_persist(monkeypatch, type(docs))
+    scored = {r["doc_id"]: r for r in
+              score_documents(docs, vocab).collect()}
+    assert scored[1]["n_scored"] == 2 and scored[2]["n_scored"] == 2
+    # doc 2 carries an OOV token, so it must score strictly lower
+    assert scored[2]["mean_logp"] < scored[1]["mean_logp"]
+    assert calls == []
+
+
+def test_validate_by_group_unpersists_on_max_groups_overflow(
+    spark, monkeypatch
+):
+    """The segmented passes release every persisted relation even when
+    _capped_collect raises (try/finally, round-5 review fix) — a
+    checkpointed per-partition loop must not accumulate cache entries."""
+    from great_expectations_spark import validate_by_group
+
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(12)], "seg string, v double"
+    )
+    suite = ExpectationSuite("ov")
+    # z-score forces the wave-1 persist (dep_maps path)
+    suite.add("expect_column_value_z_scores_to_be_less_than",
+              column="v", threshold=3.0)
+    persisted = _spy_persist(monkeypatch, type(df))
+    unpersisted: list = []
+    orig_unpersist = type(df).unpersist
+
+    def spy_unpersist(self, *a, **k):
+        unpersisted.append(self)
+        return orig_unpersist(self, *a, **k)
+
+    monkeypatch.setattr(type(df), "unpersist", spy_unpersist)
+    with pytest.raises(ValueError, match="max_groups"):
+        validate_by_group(df, suite, "seg", max_groups=3)
+    assert len(persisted) == 1          # the wave-1 grouped relation
+    assert persisted[0] in unpersisted  # released despite the raise

@@ -144,3 +144,52 @@ def test_segmented_mode(spark, tmp_path, table_path, suite_path, capsys):
     assert all(r["success"] for r in rows)
     page = open(rep["docs_index"]).read()
     assert "all segments pass" in page and "2025-01-02" in page
+
+
+def test_segmented_checkpoint_refuses_segment_out(
+    spark, tmp_path, table_path, suite_path
+):
+    """--segment-out belongs to the one-shot mode; the checkpointed mode
+    must refuse it loudly (round-5 review fix: it was silently ignored)."""
+    rc = run_suite.main([
+        "--table", table_path,
+        "--suite", suite_path,
+        "--manifest", str(tmp_path / "m"),
+        "--evr", str(tmp_path / "e"),
+        "--partition-col", "day",
+        "--segment-col", "role",
+        "--segment-out", str(tmp_path / "seg_out"),
+    ])
+    assert rc == 2
+    assert not os.path.exists(str(tmp_path / "seg_out"))
+
+
+def test_segmented_checkpoint_renders_merged_docs(
+    spark, tmp_path, table_path, suite_path, capsys
+):
+    """--docs on the checkpointed segmented path renders the segment
+    report from the MERGED EVR store (was silently dropped); --docs
+    without --evr is a usage error there like everywhere else."""
+    rc = run_suite.main([
+        "--table", table_path,
+        "--suite", suite_path,
+        "--manifest", str(tmp_path / "m"),
+        "--partition-col", "day",
+        "--segment-col", "role",
+        "--docs", str(tmp_path / "site"),
+    ])
+    assert rc == 2  # no --evr
+    rc = run_suite.main([
+        "--table", table_path,
+        "--suite", suite_path,
+        "--manifest", str(tmp_path / "m"),
+        "--evr", str(tmp_path / "e"),
+        "--partition-col", "day",
+        "--segment-col", "role",
+        "--docs", str(tmp_path / "site"),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "segmented-checkpoint"
+    page = open(rep["docs_index"]).read()
+    assert "merged across partitions" in page and "all segments pass" in page

@@ -101,9 +101,10 @@ from great_expectations_spark.operators.lm import (
 )
 
 def q_vocab_build():
-    v = unigram_vocab(docs, top_k=top_k).persist(StorageLevel.MEMORY_AND_DISK)
+    # the exact oov_logp=None prelude score_documents runs: materialize the
+    # vocab executor-side (localCheckpoint) + the one-row OOV-floor agg
+    v = unigram_vocab(docs, top_k=top_k).localCheckpoint(eager=True)
     row = v.agg(F.min("logp"), F.count(F.lit(1))).collect()[0]
-    v.unpersist()
     return int(row[1])
 
 def timed(fn):

@@ -95,6 +95,20 @@ def main(argv: list[str]) -> int:
     run_id = args.run_id or f"run-{uuid.uuid4().hex[:12]}"
 
     if args.segment_col and args.partition_col:
+        # flags of the ONE-SHOT segmented mode don't compose with the
+        # checkpointed mode — refuse loudly instead of silently dropping
+        # what the user asked for
+        if args.segment_out:
+            print("--segment-out belongs to the one-shot segmented mode; "
+                  "the checkpointed mode's per-(partition × segment) EVR "
+                  "rows live in --evr (read them back with "
+                  "Checkpoint.merged_segment_verdicts) — drop "
+                  "--segment-out or drop --partition-col", file=sys.stderr)
+            return 2
+        if args.docs and not args.evr:
+            print("--docs requires --evr (the segment report renders the "
+                  "merged EVR store)", file=sys.stderr)
+            return 2
         # checkpointed segmented mode (round 5): the suite runs once per
         # segment WITHIN each partition, per-(partition × segment) EVR rows
         # land in --evr (segmented store, extra `segment` column), and the
@@ -112,6 +126,35 @@ def main(argv: list[str]) -> int:
             segment_col=args.segment_col,
             segment_max_groups=args.segment_max_groups,
         )
+        docs_index = None
+        if args.docs:
+            # segment report over the MERGED store (all partitions,
+            # committed rows only) — resumable-mode twin of the one-shot
+            # page; O(segments × expectations), never O(data)
+            import os
+
+            from great_expectations_spark.docs import render_segments_html
+
+            merged = [
+                {
+                    "group": r["segment"],
+                    "expectation_type": r["expectation_type"],
+                    "success": r["all_partitions_success"],
+                    "element_count": r["element_count"],
+                    "missing_count": r["missing_count"],
+                    "unexpected_count": r["unexpected_count"],
+                    "observed_value": None,
+                }
+                for r in ckpt.merged_segment_verdicts().collect()
+            ]
+            os.makedirs(args.docs, exist_ok=True)
+            docs_index = os.path.join(args.docs, "segments.html")
+            with open(docs_index, "w") as f:
+                f.write(render_segments_html(
+                    merged,
+                    title=f"{suite.name} by {args.segment_col} "
+                          f"(merged across partitions)",
+                ))
         print(json.dumps({
             "run_id": run_id,
             "mode": "segmented-checkpoint",
@@ -123,6 +166,7 @@ def main(argv: list[str]) -> int:
             "success": res.success,
             "manifest": args.manifest,
             "evr": args.evr,
+            "docs_index": docs_index,
         }))
         return 0 if res.success else 1
 
