@@ -510,3 +510,24 @@ def test_expr_backed_aggregates_segment_parity(spark):
         for r in res.results:
             et = r.expectation_config["expectation_type"]
             assert seg[(g, et)]["success"] == r.success, (g, et)
+
+
+def test_rc_uniqueness_violations_flow_through_sub_pass(spark, tmp_path):
+    """row_condition uniqueness violations are written by the rc sub-pass
+    through the same violations sink — rows outside the rc domain are
+    invisible to the duplicate semi-join, not merely uncounted."""
+    rows = [("a", 1, 10, 1), ("a", 1, 10, 2), ("a", 0, 10, 3),
+            ("a", 1, 11, 4)]
+    df = spark.createDataFrame(rows, "seg string, flag int, k int, id int")
+    suite = ExpectationSuite("rcv")
+    suite.add("expect_column_values_to_be_unique", column="k",
+              row_condition="flag = 1")
+    vpath = str(tmp_path / "rcviol")
+    out = {r["group"]: r for r in validate_by_group(
+        df, suite, "seg", violations_path=vpath,
+        unexpected_index_column_names=["id"]).collect()}
+    # only the two in-domain k=10 rows are duplicates (the flag=0 copy
+    # does not make a third)
+    assert out["a"]["unexpected_count"] == 2
+    viol = spark.read.parquet(vpath).collect()
+    assert sorted(r["id"] for r in viol) == [1, 2]
