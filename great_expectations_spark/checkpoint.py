@@ -400,11 +400,17 @@ class Checkpoint:
             # `segment` column would merge into the genuinely-NULL segment
             # group (a legitimate value in segmented mode). Refuse BOTH
             # directions instead.
+            from pyspark.errors import AnalysisException
+
             try:
                 existing = set(
                     self.spark.read.parquet(self.evr_path).columns
                 )
-            except Exception:  # noqa: BLE001 — first run: no store yet
+            except AnalysisException:
+                # first run: no store yet (PATH_NOT_FOUND / unable to
+                # infer schema). ONLY that case may skip the guard — a
+                # corrupt or unreadable existing store must fail loudly
+                # here, not get the other schema appended into it
                 existing = None
             if existing is not None:
                 if segment_col is not None and "segment" not in existing:
@@ -468,6 +474,48 @@ class Checkpoint:
                         "unexpected_index_column_names"
                     ),
                 ).collect()
+                n_segments = len({r["group"] for r in seg_rows})
+                if not seg_rows:
+                    # An EMPTY partition yields zero segments, so nothing
+                    # above ran — and `all([])` would mark the partition
+                    # validated/passed unconditionally. The whole-partition
+                    # path gives the user a guard for exactly this (a
+                    # row-count expectation FAILS on an empty frame), so
+                    # mirror it: evaluate the suite's table-level
+                    # expectations against the empty frame and record
+                    # their verdicts under a NULL segment (unambiguous
+                    # here — an empty partition has no genuine segments).
+                    table_cfgs = [
+                        c for c in suite.expectations
+                        if c.expectation_type.startswith("expect_table_")
+                    ]
+                    if table_cfgs:
+                        from great_expectations_spark.suite import (
+                            ExpectationSuite as _ES,
+                        )
+
+                        empty_res = SuiteRunner(
+                            self.spark, tables=self.runner_kwargs.get(
+                                "tables"
+                            ) or {},
+                        ).validate(pdf, _ES(
+                            name=f"{suite.name}::empty-partition",
+                            expectations=table_cfgs,
+                        ))
+                        seg_rows = [
+                            {
+                                "group": None,
+                                "expectation_type": r.expectation_config[
+                                    "expectation_type"
+                                ],
+                                "success": bool(r.success),
+                                "element_count": 0,
+                                "missing_count": 0,
+                                "unexpected_count": 0,
+                                "observed_value": None,
+                            }
+                            for r in empty_res.results
+                        ]
                 elapsed = time.monotonic() - t0
                 per_seg_ec: dict[Any, int] = {}
                 violations = 0
@@ -499,7 +547,7 @@ class Checkpoint:
                     rows_scanned=rows_scanned,
                     violations=violations,
                     elapsed_s=elapsed,
-                    segments=len(per_seg_ec),
+                    segments=n_segments,
                     segmented_success=ok,
                 )
 
@@ -573,18 +621,39 @@ class Checkpoint:
         return out
 
     # ------------------------------------------------------------- merge view
-    def _committed_rows(self, evrs: DataFrame) -> DataFrame:
-        """Restrict an EVR frame to MANIFEST-COMMITTED rows: the latest
-        ``status=validated`` manifest row per partition names the one
-        ``run_id`` whose EVRs count. The manifest append is the commit
-        point (EVRs are written first, inside the same lock) — a process
-        killed between the two appends leaves orphan EVR rows that a
-        resumed run re-validates, and summing both sets would double every
-        counter for that partition. The join side is tiny (one row per
-        partition) and broadcast."""
+    def _committed_rows(
+        self, evrs: DataFrame, shash: str | None = None
+    ) -> DataFrame:
+        """Restrict an EVR frame to MANIFEST-COMMITTED rows: per partition,
+        the latest ``status=validated`` manifest row AMONG THE RUNS PRESENT
+        IN THIS STORE names the one ``run_id`` whose EVRs count. The
+        manifest append is the commit point (EVRs are written first, inside
+        the same lock) — a process killed between the two appends leaves
+        orphan EVR rows that a resumed run re-validates, and summing both
+        sets would double every counter for that partition.
+
+        "Among the runs present in this store" matters: the manifest is
+        deliberately shareable across modes and suites (the segment-salted
+        suite hash exists precisely so a whole-partition run and a
+        segmented run of the same suite share one manifest without
+        cross-skipping, each with its OWN EVR store). Picking the latest
+        validated run across the whole manifest would name the other
+        store's run_id and semi-join this store down to nothing — so the
+        candidate set is intersected with this store's (partition, run)
+        pairs first. ``shash`` optionally narrows the manifest rows to one
+        suite hash. The join side is tiny (one row per partition) and
+        broadcast."""
+        validated = self.read_manifest().filter(
+            F.col("status") == "validated"
+        )
+        if shash is not None:
+            validated = validated.filter(F.col("suite_hash") == shash)
+        pairs = evrs.select("partition_id", "run_id").distinct()
         latest = (
-            self.read_manifest()
-            .filter(F.col("status") == "validated")
+            pairs.join(
+                validated.select("partition_id", "run_id", "finished_ts"),
+                on=["partition_id", "run_id"],
+            )
             .groupBy("partition_id")
             .agg(F.max_by("run_id", "finished_ts").alias("run_id"))
         )
@@ -593,14 +662,25 @@ class Checkpoint:
             how="left_semi",
         )
 
-    def merged_map_verdicts(self, shash_or_suite: Any) -> DataFrame:
+    @staticmethod
+    def _resolve_shash(shash_or_suite: Any) -> str | None:
+        if shash_or_suite is None:
+            return None
+        if isinstance(shash_or_suite, str):
+            return shash_or_suite
+        return suite_hash(shash_or_suite)
+
+    def merged_map_verdicts(self, shash_or_suite: Any = None) -> DataFrame:
         """Suite-level merged counters per expectation_type from the EVR
         store — counts add across partitions (SURVEY.md §4.2 item 5).
-        Only manifest-committed rows participate (``_committed_rows``)."""
+        Only manifest-committed rows participate (``_committed_rows``);
+        passing the suite (or its hash) additionally pins the commit
+        lookup to that suite's manifest rows."""
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
         evrs = self._committed_rows(
-            self.spark.read.schema(EVR_ROW_SCHEMA).parquet(self.evr_path)
+            self.spark.read.schema(EVR_ROW_SCHEMA).parquet(self.evr_path),
+            shash=self._resolve_shash(shash_or_suite),
         )
         return (
             evrs.groupBy("expectation_type")
@@ -615,7 +695,9 @@ class Checkpoint:
             .orderBy("expectation_type")
         )
 
-    def merged_segment_verdicts(self) -> DataFrame:
+    def merged_segment_verdicts(
+        self, shash_or_suite: Any = None, segment_col: str | None = None
+    ) -> DataFrame:
         """Per-(segment × expectation_type) merged counters from a
         segmented-mode EVR store: counts add across partitions, so a
         resumed multi-partition run re-derives the same per-segment
@@ -633,13 +715,22 @@ class Checkpoint:
         Only manifest-committed rows participate (``_committed_rows``):
         EVR rows orphaned by a kill between the EVR append and the
         manifest append are superseded by the resumed run's committed
-        set, never double-counted."""
+        set, never double-counted. Passing the suite plus ``segment_col``
+        (or the already-salted hash string from
+        ``CheckpointRunResult.suite_hash``) additionally pins the commit
+        lookup to that segmented run's manifest rows."""
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
+        shash = self._resolve_shash(shash_or_suite)
+        if shash is not None and segment_col is not None:
+            shash = hashlib.sha256(
+                f"{shash}|segmented:{segment_col}".encode()
+            ).hexdigest()[:16]
         evrs = self._committed_rows(
             self.spark.read.schema(SEGMENT_EVR_ROW_SCHEMA).parquet(
                 self.evr_path
-            )
+            ),
+            shash=shash,
         )
         return (
             evrs.groupBy("segment", "expectation_type")

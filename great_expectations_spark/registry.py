@@ -79,6 +79,11 @@ class CompiledRelational:
     violations: Callable[[DataFrame, dict[str, DataFrame]], DataFrame] | None = None
     mostly: float | None = None
     result_format: dict[str, Any] = field(default_factory=lambda: parse_result_format(None))
+    #: the RUNNER sets this before run() when a violations sink is
+    #: configured — run() may then materialize intermediate state worth
+    #: sharing with violations() (e.g. contiguous per-group stats); with
+    #: no sink, run() must stay a single streaming pass
+    sink_violations: bool = False
 
 
 @dataclass
@@ -802,8 +807,15 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
     def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
         from great_expectations_spark.result import calc_map_success
 
-        stats = _group_stats(df).localCheckpoint(eager=True)
-        state["src"], state["stats"] = df, stats
+        stats = _group_stats(df)
+        if comp.sink_violations:
+            # materialize the per-group stats ONLY when violations() will
+            # consume them (the runner sets the hint): one aggregation per
+            # validated run shared across both consumers. Without a sink,
+            # run() stays a single streaming groupBy→agg pass — no
+            # checkpoint job, no per-group rows held in block storage
+            stats = stats.localCheckpoint(eager=True)
+            state["src"], state["stats"] = df, stats
         row = stats.agg(
             F.count(F.lit(1)).alias("tg"),
             F.sum(
@@ -826,10 +838,11 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
             ),
         }
 
-    return CompiledRelational(
+    comp = CompiledRelational(
         cfg=cfg, run=run, violations=_viol, mostly=mostly,
         result_format=parse_result_format(cfg.kwargs.get("result_format")),
     )
+    return comp
 
 
 @register("expect_table_benchmark_contamination_rate_to_be_less_than")

@@ -897,6 +897,13 @@ class SuiteRunner:
     def _run_relational(
         self, cr: CompiledRelational, df: DataFrame, violation_frames: list[DataFrame]
     ) -> ExpectationValidationResult:
+        # tell run() whether violations() will consume its intermediate
+        # state (e.g. contiguous per-group stats): with a sink it may
+        # materialize once for both consumers; without one it must stay a
+        # single streaming pass
+        cr.sink_violations = bool(
+            self.violations_path and cr.violations is not None
+        )
         success, result = cr.run(df, self.tables)
         if self.violations_path and cr.violations is not None:
             index_cols = self._effective_index_cols(df)

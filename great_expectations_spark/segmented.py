@@ -123,6 +123,29 @@ def validate_by_group(
     column of the result is genuinely NULL for them — no string
     sentinel, so a data value that happens to be the string "NULL"
     stays a separate segment)."""
+    return df.sparkSession.createDataFrame(
+        _validate_rows(
+            df, suite, group_by, strict=strict, max_groups=max_groups,
+            violations_path=violations_path,
+            unexpected_index_column_names=unexpected_index_column_names,
+        ),
+        RESULT_SCHEMA,
+    )
+
+
+def _validate_rows(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    group_by: str,
+    strict: bool,
+    max_groups: int,
+    violations_path: str | None,
+    unexpected_index_column_names: list[str] | None,
+) -> list[tuple]:
+    """validate_by_group's engine, returning the driver-local counter rows
+    directly — the rc sub-pass recurses HERE so a sub-suite's rows fold in
+    without a needless createDataFrame + collect round-trip per distinct
+    row_condition."""
     maps: list[tuple[int, CompiledMap, str | None]] = []
     dep_maps: list[tuple[int, CompiledMap]] = []
     aggs: list[tuple[int, CompiledAgg]] = []
@@ -175,7 +198,6 @@ def validate_by_group(
         else:
             _reject(cfg, "relational/query/meta kinds need their own pass")
 
-    spark = df.sparkSession
     gcol = F.col(group_by).cast("string")
     out: list[tuple] = []
     index_cols = [
@@ -528,15 +550,15 @@ def validate_by_group(
             ],
             meta=suite.meta,
         )
-        sub = validate_by_group(
+        # the sub-pass's counters are already driver-local — fold them in
+        # directly (no createDataFrame + collect round-trip per distinct
+        # row_condition); the output stays ONE DataFrame built by the
+        # public wrapper
+        out.extend(_validate_rows(
             df.filter(F.expr(rc)), sub_suite, group_by,
             strict=strict, max_groups=max_groups,
             violations_path=violations_path,
             unexpected_index_column_names=unexpected_index_column_names,
-        )
-        # the sub-result is a driver-local relation (built from collected,
-        # max_groups-capped counters) — folding its rows into this call's
-        # keeps the output ONE DataFrame with no recursive union tree
-        out.extend(tuple(r) for r in sub.collect())
+        ))
 
-    return spark.createDataFrame(out, RESULT_SCHEMA)
+    return out

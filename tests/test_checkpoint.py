@@ -341,3 +341,57 @@ def test_merged_segment_verdicts_ignore_orphan_evrs(spark, tmp_path,
     for k, m in merged.items():
         assert m["element_count"] == single[k]["element_count"], k
         assert m["unexpected_count"] == single[k]["unexpected_count"], k
+
+
+def test_shared_manifest_does_not_wipe_merge_views(spark, tmp_path,
+                                                   seg_suite, tdf):
+    """The manifest is deliberately shareable across modes (segment-salted
+    suite hashes prevent cross-skip), each mode with its OWN EVR store.
+    The commit lookup must pick the latest validated run AMONG THE RUNS
+    PRESENT IN EACH STORE — picking the manifest-wide latest would name
+    the other store's run_id and semi-join a store down to nothing
+    (round-5 second-review fix)."""
+    m = str(tmp_path / "m")
+    ck_whole = Checkpoint(spark, manifest_path=m,
+                          evr_path=str(tmp_path / "e_whole"))
+    ck_seg = Checkpoint(spark, manifest_path=m,
+                        evr_path=str(tmp_path / "e_seg"))
+    ck_whole.run(tdf, seg_suite, run_id="r-whole", partition_col="day")
+    ck_seg.run(tdf, seg_suite, run_id="r-seg", partition_col="day",
+               segment_col="role")
+
+    whole = ck_whole.merged_map_verdicts(seg_suite).collect()
+    assert len(whole) == 2                      # both expectations survive
+    assert all(r["element_count"] == 30 for r in whole)
+    seg = ck_seg.merged_segment_verdicts().collect()
+    assert len(seg) == 2                        # one role value x 2 checks
+    assert all(r["element_count"] == 30 for r in seg)
+
+
+def test_empty_partition_segmented_honors_row_count_guard(spark, tmp_path,
+                                                          tdf):
+    """An empty partition yields zero segments; the suite's table-level
+    expectations must still evaluate against the empty frame (whole-
+    partition parity: a row-count floor FAILS instead of the partition
+    being vacuously marked passed — round-5 second-review fix)."""
+    s = ExpectationSuite("empty-guard")
+    s.add("expect_column_values_to_not_be_null", column="text", mostly=0.5)
+    s.add("expect_table_row_count_to_be_between", min_value=1)
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    res = ck.run(tdf, s, run_id="r1", partition_col="day",
+                 partition_values=["2025-01-01", "2099-12-31"],
+                 segment_col="role")
+    by_pid = {r.partition_id: r for r in res.records}
+    assert by_pid["2025-01-01"].segmented_success is True
+    ghost = by_pid["2099-12-31"]
+    assert ghost.segments == 0
+    assert ghost.segmented_success is False     # row-count floor fired
+    assert res.success is False
+    # the failing verdict is visible in the store under a NULL segment
+    rows = spark.read.parquet(str(tmp_path / "evr")).filter(
+        F.col("partition_id") == "2099-12-31").collect()
+    assert len(rows) == 1 and rows[0]["segment"] is None
+    assert rows[0]["expectation_type"] == \
+        "expect_table_row_count_to_be_between"
+    assert rows[0]["success"] is False

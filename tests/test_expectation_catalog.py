@@ -870,6 +870,10 @@ class TestContiguous:
             "expect_column_values_to_be_contiguous",
             {"column": "turn_idx", "group_by": ["conv_id"], "start": 0},
         ))
+        # the runner sets this before run() whenever a violations sink is
+        # configured; without it run() stays a single streaming pass and
+        # violations() re-aggregates (the no-sink fast path)
+        comp.sink_violations = True
         comp.run(turns, {})
         viol = comp.violations(turns, {})
         plan = viol._jdf.queryExecution().executedPlan().toString()

@@ -193,3 +193,21 @@ def test_segmented_checkpoint_renders_merged_docs(
     assert rep["mode"] == "segmented-checkpoint"
     page = open(rep["docs_index"]).read()
     assert "merged across partitions" in page and "all segments pass" in page
+
+
+def test_partitioned_docs_precondition_checked_before_work(
+    spark, tmp_path, table_path, suite_path
+):
+    """--docs without --evr on the partitioned path must fail BEFORE
+    validating anything (round-5 second-review fix: it used to validate
+    the whole table first, then exit 2)."""
+    manifest = str(tmp_path / "m")
+    rc = run_suite.main([
+        "--table", table_path,
+        "--suite", suite_path,
+        "--manifest", manifest,
+        "--partition-col", "day",
+        "--docs", str(tmp_path / "site"),
+    ])
+    assert rc == 2
+    assert not os.path.exists(manifest)   # no partition was validated

@@ -216,6 +216,13 @@ def main(argv: list[str]) -> int:
         return 0 if ok else 1
 
     if args.partition_col:
+        if args.docs and not args.evr:
+            # fail BEFORE validating the whole table, not after hours of
+            # work (the segmented-checkpoint branch checks the same
+            # precondition up front)
+            print("--docs requires --evr (the site renders the EVR store)",
+                  file=sys.stderr)
+            return 2
         ckpt = Checkpoint(
             spark,
             manifest_path=args.manifest,
@@ -228,10 +235,6 @@ def main(argv: list[str]) -> int:
         n_ok = sum(1 for r in res.validated if r.result and r.result.success)
         docs_index = None
         if args.docs:
-            if not args.evr:
-                print("--docs requires --evr (the site renders the EVR store)",
-                      file=sys.stderr)
-                return 2
             from great_expectations_spark.docs import build_data_docs
 
             docs_index = build_data_docs(spark, args.evr, args.docs, suite=suite)
