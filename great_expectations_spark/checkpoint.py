@@ -105,6 +105,16 @@ SEGMENT_EVR_ROW_SCHEMA = StructType(
 )
 
 
+def salted_suite_hash(shash: str, segment_col: str) -> str:
+    """The segmented-mode manifest hash: the plain suite hash salted with
+    the segment column, so segmented and whole-partition runs of the same
+    suite never cross-skip. ONE definition — ``run()`` and the merge views
+    must always agree, or every segmented merge silently empties."""
+    return hashlib.sha256(
+        f"{shash}|segmented:{segment_col}".encode()
+    ).hexdigest()[:16]
+
+
 def check_partitioned_layout(
     spark: SparkSession, path: str, stale_prefix: str, expected: str
 ) -> None:
@@ -426,9 +436,7 @@ class Checkpoint:
                         "runs need their own EVR store path"
                     )
         if segment_col is not None:
-            shash = hashlib.sha256(
-                f"{shash}|segmented:{segment_col}".encode()
-            ).hexdigest()[:16]
+            shash = salted_suite_hash(shash, segment_col)
         done = self.completed_partitions(shash)
         if partition_values is None:
             partition_values = sorted(
@@ -478,44 +486,44 @@ class Checkpoint:
                 if not seg_rows:
                     # An EMPTY partition yields zero segments, so nothing
                     # above ran — and `all([])` would mark the partition
-                    # validated/passed unconditionally. The whole-partition
-                    # path gives the user a guard for exactly this (a
-                    # row-count expectation FAILS on an empty frame), so
-                    # mirror it: evaluate the suite's table-level
-                    # expectations against the empty frame and record
-                    # their verdicts under a NULL segment (unambiguous
-                    # here — an empty partition has no genuine segments).
-                    table_cfgs = [
-                        c for c in suite.expectations
-                        if c.expectation_type.startswith("expect_table_")
+                    # validated/passed unconditionally with ZERO EVR rows
+                    # (invisible in the merge views and the docs page).
+                    # Whole-partition parity instead: run the WHOLE suite
+                    # through SuiteRunner on the empty frame (map kinds
+                    # succeed vacuously, a row-count floor FAILS) with the
+                    # checkpoint's configured runner kwargs, and record
+                    # every verdict with its real counters/observed value
+                    # under the reserved segment "__empty_partition__" —
+                    # NOT NULL, which is a legitimate segment value that
+                    # other partitions may genuinely hold and must not be
+                    # polluted with synthesized rows in the merge.
+                    empty_res = SuiteRunner(
+                        self.spark, **self.runner_kwargs
+                    ).validate(pdf, suite)
+                    seg_rows = [
+                        {
+                            "group": "__empty_partition__",
+                            "expectation_type": r.expectation_config[
+                                "expectation_type"
+                            ],
+                            "success": bool(r.success),
+                            "element_count": int(
+                                (r.result or {}).get("element_count") or 0
+                            ),
+                            "missing_count": int(
+                                (r.result or {}).get("missing_count") or 0
+                            ),
+                            "unexpected_count": int(
+                                (r.result or {}).get("unexpected_count")
+                                or 0
+                            ),
+                            "observed_value": json.dumps(
+                                (r.result or {}).get("observed_value"),
+                                default=str,
+                            ),
+                        }
+                        for r in empty_res.results
                     ]
-                    if table_cfgs:
-                        from great_expectations_spark.suite import (
-                            ExpectationSuite as _ES,
-                        )
-
-                        empty_res = SuiteRunner(
-                            self.spark, tables=self.runner_kwargs.get(
-                                "tables"
-                            ) or {},
-                        ).validate(pdf, _ES(
-                            name=f"{suite.name}::empty-partition",
-                            expectations=table_cfgs,
-                        ))
-                        seg_rows = [
-                            {
-                                "group": None,
-                                "expectation_type": r.expectation_config[
-                                    "expectation_type"
-                                ],
-                                "success": bool(r.success),
-                                "element_count": 0,
-                                "missing_count": 0,
-                                "unexpected_count": 0,
-                                "observed_value": None,
-                            }
-                            for r in empty_res.results
-                        ]
                 elapsed = time.monotonic() - t0
                 per_seg_ec: dict[Any, int] = {}
                 violations = 0
@@ -715,17 +723,33 @@ class Checkpoint:
         Only manifest-committed rows participate (``_committed_rows``):
         EVR rows orphaned by a kill between the EVR append and the
         manifest append are superseded by the resumed run's committed
-        set, never double-counted. Passing the suite plus ``segment_col``
-        (or the already-salted hash string from
-        ``CheckpointRunResult.suite_hash``) additionally pins the commit
-        lookup to that segmented run's manifest rows."""
+        set, never double-counted.
+
+        Pinning the commit lookup to one segmented run's manifest rows
+        (optional): pass the SUITE plus ``segment_col`` — the salted hash
+        is derived here — or the ALREADY-SALTED hash string from
+        ``CheckpointRunResult.suite_hash`` alone. A suite without
+        ``segment_col`` raises (the segmented manifest only ever holds
+        salted hashes, so the unsalted hash would silently match nothing
+        and empty the view); a string is never re-salted (double-salting
+        would do the same)."""
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
         shash = self._resolve_shash(shash_or_suite)
-        if shash is not None and segment_col is not None:
-            shash = hashlib.sha256(
-                f"{shash}|segmented:{segment_col}".encode()
-            ).hexdigest()[:16]
+        if shash is not None and not isinstance(shash_or_suite, str):
+            if segment_col is None:
+                raise ValueError(
+                    "merged_segment_verdicts(suite) needs segment_col= to "
+                    "derive the segment-salted manifest hash — or pass "
+                    "CheckpointRunResult.suite_hash (already salted) "
+                    "instead of the suite"
+                )
+            shash = salted_suite_hash(shash, segment_col)
+        elif isinstance(shash_or_suite, str) and segment_col is not None:
+            raise ValueError(
+                "pass EITHER the already-salted hash string OR the suite "
+                "plus segment_col — a string is never re-salted"
+            )
         evrs = self._committed_rows(
             self.spark.read.schema(SEGMENT_EVR_ROW_SCHEMA).parquet(
                 self.evr_path

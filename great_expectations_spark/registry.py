@@ -79,11 +79,9 @@ class CompiledRelational:
     violations: Callable[[DataFrame, dict[str, DataFrame]], DataFrame] | None = None
     mostly: float | None = None
     result_format: dict[str, Any] = field(default_factory=lambda: parse_result_format(None))
-    #: the RUNNER sets this before run() when a violations sink is
-    #: configured — run() may then materialize intermediate state worth
-    #: sharing with violations() (e.g. contiguous per-group stats); with
-    #: no sink, run() must stay a single streaming pass
-    sink_violations: bool = False
+    #: compiled objects are SHARED across runners and threads via the plan
+    #: cache — per-run hints travel as run() keyword arguments (see the
+    #: runner's signature inspection), never as mutable attributes here
 
 
 @dataclass
@@ -757,19 +755,21 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
     group_by = list(cfg.kwargs["group_by"])
     start = int(cfg.kwargs.get("start", 0))
     mostly = cfg.mostly
-    # run() materializes the per-group stats via localCheckpoint and
-    # stashes them here so the violations pass reuses the computed
-    # aggregation instead of re-scanning and re-shuffling the whole table
-    # (the runner always calls run() before violations() on the same df).
-    # localCheckpoint — NOT persist(): CacheManager holds persisted
-    # relations until an explicit unpersist (ContextCleaner never touches
-    # SQL cache entries), which would leak one entry per compile in a
-    # per-partition checkpoint loop; a checkpointed RDD is plain
-    # reference-counted, so dropping this compiled expectation lets
-    # ContextCleaner reclaim the blocks. The source frame is compared by
-    # IDENTITY with a strong reference (never id(): CPython reuses
-    # addresses after GC, which could silently match a different table).
-    state: dict[str, Any] = {}
+    # run(sink_violations=True) materializes the per-group stats via
+    # localCheckpoint and stashes them here so the violations pass reuses
+    # the computed aggregation instead of re-scanning and re-shuffling the
+    # whole table (the runner always calls run() before violations() on
+    # the same df). localCheckpoint — NOT persist(): CacheManager holds
+    # persisted relations until an explicit unpersist (ContextCleaner
+    # never touches SQL cache entries), which would leak one entry per
+    # compile in a per-partition checkpoint loop; a checkpointed RDD is
+    # plain reference-counted, so dropping the stash entry lets
+    # ContextCleaner reclaim the blocks. The stash is keyed by id(df) AND
+    # verified against a stored strong reference (id() alone could match
+    # a recycled address), holds one entry per IN-FLIGHT frame (compiled
+    # objects are shared across runners and threads via the plan cache,
+    # so concurrent partitions must not clobber each other), and
+    # violations() POPS its entry — consume-once, no growth.
 
     def _group_stats(df: DataFrame) -> DataFrame:
         return (
@@ -792,30 +792,38 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
             )
         )
 
+    stash: dict[int, tuple[DataFrame, DataFrame]] = {}
+
     def _viol(df: DataFrame, tables: dict[str, DataFrame]) -> DataFrame:
         # rows belonging to broken groups; the bad-group set is small in the
         # passing regime, so AQE broadcasts the build side (no forced hint —
-        # a wholly-broken table would flag every group). Reuses run()'s
-        # persisted stats when available: ONE aggregation of the table per
-        # validated run, not one per consumer.
+        # a wholly-broken table would flag every group). Consumes run()'s
+        # materialized stats when available: ONE aggregation of the table
+        # per validated run, not one per consumer.
+        entry = stash.pop(id(df), None)
         stats = (
-            state["stats"] if state.get("src") is df else _group_stats(df)
+            entry[1] if entry is not None and entry[0] is df
+            else _group_stats(df)
         )
         return df.join(_bad(stats).select(*group_by), on=group_by,
                        how="left_semi")
 
-    def run(df: DataFrame, tables: dict[str, DataFrame]) -> tuple[bool, dict[str, Any]]:
+    def run(
+        df: DataFrame, tables: dict[str, DataFrame],
+        sink_violations: bool = False,
+    ) -> tuple[bool, dict[str, Any]]:
         from great_expectations_spark.result import calc_map_success
 
         stats = _group_stats(df)
-        if comp.sink_violations:
+        if sink_violations:
             # materialize the per-group stats ONLY when violations() will
-            # consume them (the runner sets the hint): one aggregation per
-            # validated run shared across both consumers. Without a sink,
-            # run() stays a single streaming groupBy→agg pass — no
-            # checkpoint job, no per-group rows held in block storage
+            # consume them (the runner passes the hint PER CALL — never an
+            # attribute on this shared, plan-cached object): one
+            # aggregation per validated run shared across both consumers.
+            # Without a sink, run() stays a single streaming groupBy→agg
+            # pass — no checkpoint job, no per-group rows in block storage
             stats = stats.localCheckpoint(eager=True)
-            state["src"], state["stats"] = df, stats
+            stash[id(df)] = (df, stats)
         row = stats.agg(
             F.count(F.lit(1)).alias("tg"),
             F.sum(
@@ -838,11 +846,10 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
             ),
         }
 
-    comp = CompiledRelational(
+    return CompiledRelational(
         cfg=cfg, run=run, violations=_viol, mostly=mostly,
         result_format=parse_result_format(cfg.kwargs.get("result_format")),
     )
-    return comp
 
 
 @register("expect_table_benchmark_contamination_rate_to_be_less_than")

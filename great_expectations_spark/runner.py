@@ -900,11 +900,17 @@ class SuiteRunner:
         # tell run() whether violations() will consume its intermediate
         # state (e.g. contiguous per-group stats): with a sink it may
         # materialize once for both consumers; without one it must stay a
-        # single streaming pass
-        cr.sink_violations = bool(
-            self.violations_path and cr.violations is not None
-        )
-        success, result = cr.run(df, self.tables)
+        # single streaming pass. The hint travels as a PER-CALL keyword —
+        # compiled objects are shared across runners and threads via the
+        # plan cache, so a mutable attribute would race
+        import inspect
+
+        kwargs = {}
+        if "sink_violations" in inspect.signature(cr.run).parameters:
+            kwargs["sink_violations"] = bool(
+                self.violations_path and cr.violations is not None
+            )
+        success, result = cr.run(df, self.tables, **kwargs)
         if self.violations_path and cr.violations is not None:
             index_cols = self._effective_index_cols(df)
             column = cr.cfg.kwargs.get("column")

@@ -370,10 +370,12 @@ def test_shared_manifest_does_not_wipe_merge_views(spark, tmp_path,
 
 def test_empty_partition_segmented_honors_row_count_guard(spark, tmp_path,
                                                           tdf):
-    """An empty partition yields zero segments; the suite's table-level
-    expectations must still evaluate against the empty frame (whole-
-    partition parity: a row-count floor FAILS instead of the partition
-    being vacuously marked passed — round-5 second-review fix)."""
+    """An empty partition yields zero segments; the WHOLE suite must still
+    evaluate against the empty frame (whole-partition parity: map kinds
+    succeed vacuously, a row-count floor FAILS instead of the partition
+    being vacuously marked passed), recorded with real counters under the
+    reserved "__empty_partition__" segment — never NULL, which is a
+    legitimate segment value other partitions may genuinely hold."""
     s = ExpectationSuite("empty-guard")
     s.add("expect_column_values_to_not_be_null", column="text", mostly=0.5)
     s.add("expect_table_row_count_to_be_between", min_value=1)
@@ -388,10 +390,61 @@ def test_empty_partition_segmented_honors_row_count_guard(spark, tmp_path,
     assert ghost.segments == 0
     assert ghost.segmented_success is False     # row-count floor fired
     assert res.success is False
-    # the failing verdict is visible in the store under a NULL segment
-    rows = spark.read.parquet(str(tmp_path / "evr")).filter(
-        F.col("partition_id") == "2099-12-31").collect()
-    assert len(rows) == 1 and rows[0]["segment"] is None
-    assert rows[0]["expectation_type"] == \
-        "expect_table_row_count_to_be_between"
-    assert rows[0]["success"] is False
+    # every verdict visible in the store under the reserved segment, with
+    # the runner's real observed value explaining the failure
+    rows = {r["expectation_type"]: r for r in spark.read.parquet(
+        str(tmp_path / "evr")).filter(
+        F.col("partition_id") == "2099-12-31").collect()}
+    assert len(rows) == 2
+    assert all(r["segment"] == "__empty_partition__" for r in rows.values())
+    rc = rows["expect_table_row_count_to_be_between"]
+    assert rc["success"] is False and rc["observed_value"] == "0"
+    assert rows["expect_column_values_to_not_be_null"]["success"] is True
+
+
+def test_merged_segment_verdicts_salting_semantics(spark, tmp_path,
+                                                   seg_suite, tdf):
+    """Pinning the segmented merge to one suite: suite + segment_col works
+    (hash salted once, here); the already-salted string works alone; a
+    suite WITHOUT segment_col raises (unsalted hash would silently match
+    nothing), and string + segment_col raises (never re-salt)."""
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    res = ck.run(tdf, seg_suite, run_id="r1", partition_col="day",
+                 segment_col="role")
+    n = len(ck.merged_segment_verdicts().collect())
+    assert n > 0
+    assert len(ck.merged_segment_verdicts(
+        seg_suite, segment_col="role").collect()) == n
+    assert len(ck.merged_segment_verdicts(res.suite_hash).collect()) == n
+    with pytest.raises(ValueError, match="segment_col"):
+        ck.merged_segment_verdicts(seg_suite)
+    with pytest.raises(ValueError, match="never re-salted"):
+        ck.merged_segment_verdicts(res.suite_hash, segment_col="role")
+
+
+def test_contiguous_concurrent_partitions_pair_correct_stats(spark,
+                                                             tmp_path):
+    """The per-group stats stash is keyed per frame (compiled objects are
+    plan-cache-shared across threads): concurrent partitions must each
+    join their OWN stats — wrong pairing would sink phantom violations."""
+    rows = []
+    for day, bad in (("d1", True), ("d2", False)):
+        for conv in range(4):
+            idxs = [0, 2, 3] if (bad and conv == 0) else [0, 1, 2]
+            rows += [(f"{day}-c{conv}", i, day) for i in idxs]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, day string")
+    s = ExpectationSuite("contig")
+    s.add("expect_column_values_to_be_contiguous", column="turn_idx",
+          group_by=["conv_id"], start=0)
+    vpath = str(tmp_path / "viol")
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"), violations_path=vpath,
+                    unexpected_index_column_names=["conv_id"])
+    res = ck.run(df, s, run_id="r1", partition_col="day",
+                 max_concurrent_partitions=2)
+    assert len(res.validated) == 2
+    viol = spark.read.parquet(vpath).collect()
+    # exactly the broken d1 conversation's rows — nothing from d2
+    assert {r["conv_id"] for r in viol} == {"d1-c0"}
+    assert len(viol) == 3

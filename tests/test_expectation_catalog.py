@@ -870,11 +870,11 @@ class TestContiguous:
             "expect_column_values_to_be_contiguous",
             {"column": "turn_idx", "group_by": ["conv_id"], "start": 0},
         ))
-        # the runner sets this before run() whenever a violations sink is
-        # configured; without it run() stays a single streaming pass and
-        # violations() re-aggregates (the no-sink fast path)
-        comp.sink_violations = True
-        comp.run(turns, {})
+        # the runner passes this PER CALL whenever a violations sink is
+        # configured (compiled objects are plan-cache-shared across
+        # threads, so it is never a mutable attribute); without it run()
+        # stays a single streaming pass and violations() re-aggregates
+        comp.run(turns, {}, sink_violations=True)
         viol = comp.violations(turns, {})
         plan = viol._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" in plan
