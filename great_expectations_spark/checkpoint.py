@@ -483,6 +483,16 @@ class Checkpoint:
                     ),
                 ).collect()
                 n_segments = len({r["group"] for r in seg_rows})
+                if any(
+                    r["group"] == "__empty_partition__" for r in seg_rows
+                ):
+                    raise ValueError(
+                        f"partition {pid!r} holds a genuine segment named "
+                        "'__empty_partition__', which is reserved for "
+                        "empty-partition verdict rows — rename or derive "
+                        "the segment column so the merged per-segment "
+                        "counters cannot mix the two"
+                    )
                 if not seg_rows:
                     # An EMPTY partition yields zero segments, so nothing
                     # above ran — and `all([])` would mark the partition
@@ -517,9 +527,12 @@ class Checkpoint:
                                 (r.result or {}).get("unexpected_count")
                                 or 0
                             ),
-                            "observed_value": json.dumps(
-                                (r.result or {}).get("observed_value"),
-                                default=str,
+                            # plain str like validate_by_group's agg rows
+                            # (one encoding per column across the store);
+                            # None stays SQL NULL
+                            "observed_value": (
+                                str(ov) if (ov := (r.result or {}).get(
+                                    "observed_value")) is not None else None
                             ),
                         }
                         for r in empty_res.results
@@ -736,6 +749,12 @@ class Checkpoint:
         if self.evr_path is None:
             raise ValueError("Checkpoint was created without evr_path")
         shash = self._resolve_shash(shash_or_suite)
+        if shash is None and segment_col is not None:
+            raise ValueError(
+                "segment_col= without the suite pins nothing — pass "
+                "merged_segment_verdicts(suite, segment_col=...) or the "
+                "already-salted CheckpointRunResult.suite_hash"
+            )
         if shash is not None and not isinstance(shash_or_suite, str):
             if segment_col is None:
                 raise ValueError(

@@ -79,9 +79,12 @@ class CompiledRelational:
     violations: Callable[[DataFrame, dict[str, DataFrame]], DataFrame] | None = None
     mostly: float | None = None
     result_format: dict[str, Any] = field(default_factory=lambda: parse_result_format(None))
-    #: compiled objects are SHARED across runners and threads via the plan
-    #: cache — per-run hints travel as run() keyword arguments (see the
-    #: runner's signature inspection), never as mutable attributes here
+    #: compile-time capability flag: run() accepts the per-call
+    #: sink_violations= keyword (compiled objects are SHARED across
+    #: runners and threads via the plan cache, so per-RUN hints travel as
+    #: run() keyword arguments — this frozen flag only says the keyword
+    #: exists, sparing the runner reflection)
+    accepts_sink_hint: bool = False
 
 
 @dataclass
@@ -823,7 +826,6 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
             # Without a sink, run() stays a single streaming groupBy→agg
             # pass — no checkpoint job, no per-group rows in block storage
             stats = stats.localCheckpoint(eager=True)
-            stash[id(df)] = (df, stats)
         row = stats.agg(
             F.count(F.lit(1)).alias("tg"),
             F.sum(
@@ -835,6 +837,12 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
                 ).otherwise(1)
             ).alias("bg"),
         ).collect()[0]
+        # stash only AFTER the verdict job succeeded: an entry inserted
+        # before a failing collect would never be popped (violations()
+        # is skipped when run() raises) and would pin the frame + the
+        # checkpointed blocks forever in the plan-cached closure
+        if sink_violations:
+            stash[id(df)] = (df, stats)
         total_groups = int(row["tg"] or 0)
         bad_groups = int(row["bg"] or 0)
         success = calc_map_success(total_groups, 0, bad_groups, mostly)
@@ -849,6 +857,7 @@ def _compile_contiguous(cfg: ExpectationConfiguration) -> CompiledRelational:
     return CompiledRelational(
         cfg=cfg, run=run, violations=_viol, mostly=mostly,
         result_format=parse_result_format(cfg.kwargs.get("result_format")),
+        accepts_sink_hint=True,
     )
 
 

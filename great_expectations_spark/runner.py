@@ -902,11 +902,10 @@ class SuiteRunner:
         # materialize once for both consumers; without one it must stay a
         # single streaming pass. The hint travels as a PER-CALL keyword —
         # compiled objects are shared across runners and threads via the
-        # plan cache, so a mutable attribute would race
-        import inspect
-
+        # plan cache, so a mutable attribute would race; the frozen
+        # accepts_sink_hint capability flag spares per-call reflection
         kwargs = {}
-        if "sink_violations" in inspect.signature(cr.run).parameters:
+        if cr.accepts_sink_hint:
             kwargs["sink_violations"] = bool(
                 self.violations_path and cr.violations is not None
             )

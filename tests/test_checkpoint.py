@@ -421,6 +421,23 @@ def test_merged_segment_verdicts_salting_semantics(spark, tmp_path,
         ck.merged_segment_verdicts(seg_suite)
     with pytest.raises(ValueError, match="never re-salted"):
         ck.merged_segment_verdicts(res.suite_hash, segment_col="role")
+    with pytest.raises(ValueError, match="pins nothing"):
+        ck.merged_segment_verdicts(segment_col="role")
+
+
+def test_reserved_empty_partition_segment_value_refused(spark, tmp_path,
+                                                        seg_suite):
+    """A genuine segment named '__empty_partition__' would merge with
+    synthesized empty-partition verdict rows — refused loudly."""
+    df = spark.createDataFrame(
+        [("c1", 0, "__empty_partition__", "hello", "d1")],
+        "conv_id string, turn_idx int, role string, text string, day string",
+    )
+    ck = Checkpoint(spark, manifest_path=str(tmp_path / "m"),
+                    evr_path=str(tmp_path / "evr"))
+    with pytest.raises(ValueError, match="reserved"):
+        ck.run(df, seg_suite, run_id="r1", partition_col="day",
+               segment_col="role")
 
 
 def test_contiguous_concurrent_partitions_pair_correct_stats(spark,
